@@ -1,0 +1,81 @@
+"""Public API: scene in -> layout suggestions + real cost breakdowns out.
+
+The TPU-native equivalent of the reference's exported ``KernelWrapper`` C ABI
+(SURVEY.md C9, ``Kernel.cu:873-984``): the caller hands over a scene and a
+launch config, gets back one suggested layout per chain. Two fixes over the
+reference by design:
+
+- per-suggestion cost breakdowns are *real* (the reference's device
+  writeback is commented out, ``Kernel.cu:852-861``, so its ``resultCosts``
+  are garbage);
+- nothing leaks (the reference frees only 5 of its 12 device buffers,
+  ``Kernel.cu:963-967``) — JAX owns all buffers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mh_tpu.config import SamplerConfig
+from mh_tpu.models.scene import Scene, SceneSpec
+from mh_tpu.sampler.mh import run_chains
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class LayoutResult:
+    """One suggestion per chain (replaces ``result``/``point``, Kernel.cu:129-149)."""
+
+    points: np.ndarray  # f32[n_chains, n_objs, 6] — (x,y,z,rotX,rotY,rotZ)
+    costs: np.ndarray  # f32[n_chains, 8] — (total, pairwise, visual, focal,
+    #                     symmetry, clearance, offlimits, surface), real values
+    accept_rate: np.ndarray  # f32[n_chains]
+    step_scale: np.ndarray  # f32[n_chains] — final adapted step-size scale
+
+    COST_FIELDS = (
+        "total",
+        "pair_wise",
+        "visual_balance",
+        "focal_point",
+        "symmetry",
+        "clearance",
+        "off_limits",
+        "surface_area",
+    )
+
+
+def suggest_layouts(
+    scene: Scene | SceneSpec,
+    cfg: SamplerConfig,
+    key: Array | int = 0,
+    pose0: Array | None = None,
+) -> LayoutResult:
+    """Run ``cfg.n_chains`` MH chains and return their final layouts.
+
+    Accepts either a built :class:`Scene` (with ``pose0``) or a
+    :class:`SceneSpec` (initial poses taken from the spec, like the
+    reference's input ``cfg`` array).
+    """
+    if isinstance(scene, SceneSpec):
+        spec = scene
+        scene = spec.build()
+        if pose0 is None:
+            pose0 = spec.initial_pose()
+    if pose0 is None:
+        raise ValueError("pose0 is required when passing a built Scene")
+    if isinstance(key, int):
+        key = jax.random.key(key)
+
+    state, _ = run_chains(key, pose0, scene, cfg)
+    n_real = int(np.sum(np.asarray(scene.obj_mask) > 0))
+    return LayoutResult(
+        points=np.asarray(state.pose)[:, :n_real, :],
+        costs=np.asarray(state.costs.as_vector()),
+        accept_rate=np.asarray(state.accept_rate),
+        step_scale=np.exp(np.asarray(state.log_scale)),
+    )

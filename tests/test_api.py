@@ -1,0 +1,44 @@
+"""End-to-end API test: the KernelWrapper-equivalent surface (SURVEY.md C9).
+
+Runs the reference demo scene (``Kernel.cu:1003-1194``) through
+``suggest_layouts`` and cross-checks the returned cost breakdowns against
+the NumPy oracle evaluated on the returned poses — proving the breakdowns
+are real (the reference returns garbage here, ``Kernel.cu:852-861``).
+"""
+
+import numpy as np
+
+from mh_tpu.api import suggest_layouts
+from mh_tpu.config import SamplerConfig
+from mh_tpu.models.scene import demo_scene
+
+import oracle
+
+
+def test_suggest_layouts_demo_scene():
+    spec = demo_scene(32)
+    cfg = SamplerConfig(iterations=100, n_chains=4)
+    res = suggest_layouts(spec, cfg, key=0)
+
+    assert res.points.shape == (4, 32, 6)
+    assert res.costs.shape == (4, 8)
+    assert np.isfinite(res.points).all()
+    assert np.isfinite(res.costs).all()
+    assert np.all(res.accept_rate > 0)
+
+    # Cost breakdowns must be *real*: re-evaluate each returned pose with the
+    # float64 oracle and compare every component.
+    for c in range(4):
+        pose = np.zeros((32, 6))
+        pose[:, :] = res.points[c]
+        want = oracle.breakdown(spec, pose, parity=True)
+        got = dict(zip(type(res).COST_FIELDS, res.costs[c]))
+        for k in type(res).COST_FIELDS:
+            np.testing.assert_allclose(
+                got[k], want[k], rtol=1e-3, atol=5e-3, err_msg=f"chain {c} {k}"
+            )
+
+    # NOTE: no on-surface assertion — like the reference harness, initial
+    # poses start far off the 10x10 surface (objects at (2i, 2i)); only
+    # translated objects get clamped (Kernel.cu:613-630), the rest are merely
+    # penalized by the surface-area term.

@@ -1,0 +1,93 @@
+"""MH chain invariants (SURVEY.md §4b): acceptance, determinism, improvement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mh_tpu.config import CostMode, SamplerConfig
+from mh_tpu.models.scene import demo_scene
+from mh_tpu.ops.costs import total_cost
+from mh_tpu.sampler.mh import run_chain, run_chains
+
+
+def test_beta_zero_accepts_everything():
+    """At beta=0 the Boltzmann ratio is 1: the chain is a pure random walk."""
+    spec = demo_scene(8)
+    cfg = SamplerConfig(iterations=64, beta=0.0)
+    state, _ = run_chain(jax.random.key(0), spec.initial_pose(), spec.build(), cfg)
+    assert int(state.n_accept) == 64
+
+
+def test_acceptance_rate_sane():
+    spec = demo_scene(16)
+    cfg = SamplerConfig(iterations=200)
+    state, _ = run_chain(jax.random.key(1), spec.initial_pose(), spec.build(), cfg)
+    rate = float(state.accept_rate)
+    assert 0.01 < rate <= 1.0
+
+
+def test_chain_improves_score():
+    """The sampler maximizes the weighted total at beta=2 (Kernel.cu:712)."""
+    spec = demo_scene(16)
+    scene = spec.build()
+    cfg = SamplerConfig(iterations=300)
+    initial = float(total_cost(spec.initial_pose(), scene, cfg.mode))
+    state, _ = run_chain(jax.random.key(2), spec.initial_pose(), scene, cfg)
+    assert float(state.costs.total) > initial
+
+
+def test_deterministic_replay():
+    spec = demo_scene(8)
+    scene = spec.build()
+    cfg = SamplerConfig(iterations=50)
+    s1, _ = run_chain(jax.random.key(3), spec.initial_pose(), scene, cfg)
+    s2, _ = run_chain(jax.random.key(3), spec.initial_pose(), scene, cfg)
+    np.testing.assert_array_equal(np.asarray(s1.pose), np.asarray(s2.pose))
+    s3, _ = run_chain(jax.random.key(4), spec.initial_pose(), scene, cfg)
+    assert np.any(np.asarray(s1.pose) != np.asarray(s3.pose))
+
+
+def test_state_costs_track_pose():
+    """The carried breakdown must always equal a fresh evaluation of the pose."""
+    spec = demo_scene(12)
+    scene = spec.build()
+    cfg = SamplerConfig(iterations=120)
+    state, _ = run_chain(jax.random.key(5), spec.initial_pose(), scene, cfg)
+    fresh = float(total_cost(state.pose, scene, cfg.mode))
+    np.testing.assert_allclose(float(state.costs.total), fresh, rtol=1e-4, atol=1e-4)
+
+
+def test_vmapped_chains_differ_and_match_single():
+    spec = demo_scene(8)
+    scene = spec.build()
+    cfg = SamplerConfig(iterations=40, n_chains=4)
+    states, _ = run_chains(jax.random.key(6), spec.initial_pose(), scene, cfg)
+    poses = np.asarray(states.pose)
+    assert poses.shape[0] == 4
+    # chains explore independently
+    assert np.any(poses[0] != poses[1])
+    # chain i of the batch == a single chain run with the same folded key
+    k0 = jax.random.fold_in(jax.random.key(6), 0)
+    single, _ = run_chain(k0, spec.initial_pose(), scene, SamplerConfig(iterations=40))
+    np.testing.assert_array_equal(poses[0], np.asarray(single.pose))
+
+
+def test_cost_trace_monotone_on_accept():
+    spec = demo_scene(8)
+    scene = spec.build()
+    cfg = SamplerConfig(iterations=60)
+    state, trace = run_chain(
+        jax.random.key(7), spec.initial_pose(), scene, cfg, trace_costs=True
+    )
+    trace = np.asarray(trace)
+    assert trace.shape == (60,)
+    assert np.isfinite(trace).all()
+    np.testing.assert_allclose(trace[-1], float(state.costs.total), rtol=1e-5)
+
+
+def test_adaptation_moves_scale():
+    spec = demo_scene(8)
+    scene = spec.build()
+    cfg = SamplerConfig(iterations=300, adapt=True, target_accept=0.44)
+    state, _ = run_chain(jax.random.key(8), spec.initial_pose(), scene, cfg)
+    assert float(state.log_scale) != 0.0
