@@ -68,14 +68,23 @@ def mh_init(pose: Array, scene: Scene, key: Array,
     )
 
 
-def mh_step(state: MHState, scene: Scene, cfg: SamplerConfig) -> MHState:
-    """One MH iteration: propose -> cost -> accept (``Kernel.cu:785-828``)."""
+def mh_step(
+    state: MHState, scene: Scene, cfg: SamplerConfig, beta: Array | None = None
+) -> MHState:
+    """One MH iteration: propose -> cost -> accept (``Kernel.cu:785-828``).
+
+    ``beta`` optionally overrides ``cfg.beta`` with a traced value — used by
+    parallel tempering where each replica samples at its own temperature.
+    """
     key_step = jax.random.fold_in(state.key, state.step)
     k_prop, k_acc = jax.random.split(key_step)
     scale = jnp.exp(state.log_scale)
     star = block_propose(k_prop, state.pose, scene, cfg, scale)
     star_costs = cost_terms(star, scene, cfg.mode)
-    acc = boltzmann_accept(k_acc, star_costs.total, state.costs.total, cfg.beta)
+    acc = boltzmann_accept(
+        k_acc, star_costs.total, state.costs.total,
+        cfg.beta if beta is None else beta,
+    )
 
     pose = jnp.where(acc, star, state.pose)
     costs = jax.tree.map(lambda s, c: jnp.where(acc, s, c), star_costs, state.costs)

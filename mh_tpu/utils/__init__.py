@@ -1,0 +1,1 @@
+"""Utilities: diagnostics, profiling, checkpointing, logging."""
