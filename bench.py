@@ -1,0 +1,161 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.md config 3/4): MH proposals/s/chip on the
+100-object layout scene, 1024 chains batched per chip, full vectorized cost
+matrix per proposal.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+anchor is the *reference-math single-core baseline* — the same objective +
+MH loop executed by the straight-Python/NumPy oracle (tests/oracle.py, a
+faithful loop-for-loop implementation of Kernel.cu's math) measured live on
+this machine's CPU. vs_baseline = tpu_proposals_per_s / oracle_proposals_per_s.
+
+Usage:
+  python bench.py                # headline config, one JSON line to stdout
+  python bench.py --all          # all 5 BASELINE configs (JSON lines to stderr,
+                                 # headline line to stdout last)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Persistent compilation cache: the two scan programs take ~1-2 min to
+# compile over the axon tunnel; cache them across bench invocations.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mh_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _time_best(fn, repeats: int = 3) -> float:
+    best = math.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def oracle_baseline_proposals_per_s(n_objs: int = 100, iters: int = 30) -> float:
+    """Reference-math MH loop (NumPy oracle) single-core proposals/s."""
+    sys.path.insert(0, "tests")
+    import oracle  # noqa: PLC0415
+
+    from mh_tpu.models.scene import demo_scene  # noqa: PLC0415
+
+    spec = demo_scene(n_objs)
+    pose = np.asarray(spec.positions, np.float64).copy()
+    rng = np.random.default_rng(0)
+    cur = oracle.breakdown(spec, pose, parity=True)["total"]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        star = pose.copy()
+        i = rng.integers(n_objs)
+        star[i, 0:2] += rng.normal(size=2) * 10 / 16
+        s = oracle.breakdown(spec, star, parity=True)["total"]
+        if rng.random() < min(1.0, math.exp(min(2.0 * (s - cur), 0.0))):
+            pose, cur = star, s
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def bench_layout(n_objs: int, n_chains: int, iterations: int) -> dict:
+    """Steady-state MH throughput, measured by scan-length differencing.
+
+    The axon TPU tunnel adds ~25 ms dispatch overhead per executable call and
+    its ``block_until_ready`` does not reliably block, so: (a) completion is
+    forced with a host copy, (b) per-step time = (T(iters) - T(iters/6)) /
+    (iters - iters/6), which cancels dispatch + compile-cache overheads.
+    """
+    from mh_tpu.config import SamplerConfig  # noqa: PLC0415
+    from mh_tpu.models.scene import demo_scene  # noqa: PLC0415
+    from mh_tpu.sampler.mh import run_chains  # noqa: PLC0415
+
+    spec = demo_scene(n_objs)
+    scene = spec.build()
+    key = jax.random.key(0)
+    pose0 = spec.initial_pose()
+
+    def run(iters):
+        cfg = SamplerConfig(iterations=iters, n_chains=n_chains)
+        states, _ = run_chains(key, pose0, scene, cfg)
+        # host pull forces real completion on axon
+        np.asarray(states.pose)
+        return states
+
+    short = max(iterations // 6, 1)
+    states = run(short)  # compile short program
+    run(iterations)  # compile long program
+    t_short = _time_best(lambda: run(short))
+    t_long = _time_best(lambda: run(iterations))
+    per_step = max((t_long - t_short) / (iterations - short), 1e-9)
+    states = run(iterations)
+    accept_rate = float(np.mean(np.asarray(states.accept_rate)))
+    return {
+        "proposals_per_s": n_chains / per_step,
+        "accepted_per_s": n_chains * accept_rate / per_step,
+        "accept_rate": accept_rate,
+        "per_step_ms": per_step * 1e3,
+        "wall_long_s": t_long,
+    }
+
+
+def bench_pi(n_samples: int = 1 << 24) -> dict:
+    from mh_tpu.models.pi import estimate_pi  # noqa: PLC0415
+
+    key = jax.random.key(0)
+
+    def run():
+        return float(estimate_pi(key, n_samples=n_samples))
+
+    est = run()
+    dt = _time_best(run)
+    return {"samples_per_s": n_samples / dt, "pi_estimate": est, "wall_s": dt}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true", help="run all BASELINE configs")
+    ap.add_argument("--objects", type=int, default=100)
+    ap.add_argument("--chains", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=200)
+    args = ap.parse_args()
+
+    platform = jax.devices()[0].platform
+    print(f"# platform: {platform}, devices: {len(jax.devices())}", file=sys.stderr)
+
+    if args.all:
+        pi = bench_pi()
+        print(f"# config1 pi: {json.dumps(pi)}", file=sys.stderr)
+        small = bench_layout(10, 1, 2000)
+        print(f"# config2 single-chain 10-obj: {json.dumps(small)}", file=sys.stderr)
+
+    head = bench_layout(args.objects, args.chains, args.iters)
+    print(f"# config3/4 headline: {json.dumps(head)}", file=sys.stderr)
+
+    base = oracle_baseline_proposals_per_s(args.objects)
+    print(f"# oracle baseline: {base:.1f} proposals/s (single-core NumPy)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"mh_proposals_per_s_per_chip_{args.objects}obj_{args.chains}chains",
+                "value": round(head["proposals_per_s"], 1),
+                "unit": "proposals/s",
+                "vs_baseline": round(head["proposals_per_s"] / base, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
