@@ -12,11 +12,13 @@ Functional re-design of the reference `propose`:
   rotY,rotZ — sizes/frozen stay put, ``Kernel.cu:674-700``); no-op when the
   scene has < 2 objects (``:657``); the pair may coincide (``:660``).
 
-The reference re-draws frozen objects in a potentially unbounded loop
-(``Kernel.cu:600-602``); here selection is a bounded masked-categorical draw
-over the unfrozen set — semantics-preserving (uniform over unfrozen) and
-vmap/jit-safe. When *everything* is frozen the move is a no-op instead of a
-hang.
+TPU-first formulation: the whole proposal is **branch-free and
+gather/scatter-free** — object selection is Gumbel-argmax over the masked
+unfrozen set (bounded; replaces the reference's potentially unbounded
+re-draw spin, ``Kernel.cu:600-602``), and the move is applied as one-hot
+arithmetic on the pose columns. This keeps the per-step program a handful
+of fused VPU ops with no per-chain dynamic indexing, which is what makes
+thousands of vmapped chains fast.
 
 Compound block proposals — the deterministic equivalent of the reference's
 64-threads-each-mutating-shared-state per iteration (``Kernel.cu:798``) —
@@ -28,20 +30,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from mh_tpu.config import CostMode, SamplerConfig
+from mh_tpu.config import SamplerConfig
 from mh_tpu.models.scene import Scene
 from mh_tpu.ops.geometry import wrap_angle_once
 
 Array = jax.Array
 
+_NEG_HUGE = -1e30
+
+
+def _unfrozen_logits(scene: Scene) -> Array:
+    ok = scene.obj_mask * (1.0 - scene.frozen.astype(jnp.float32))
+    return jnp.where(ok > 0, 0.0, _NEG_HUGE)
+
 
 def pick_unfrozen(key: Array, scene: Scene) -> Array:
-    """Uniform index over valid & unfrozen objects (bounded; no spin loop)."""
-    ok = scene.obj_mask * (1.0 - scene.frozen.astype(jnp.float32))
-    total = jnp.sum(ok)
-    p = jnp.where(total > 0, ok / jnp.where(total > 0, total, 1.0),
-                  scene.obj_mask / jnp.maximum(jnp.sum(scene.obj_mask), 1.0))
-    return jax.random.choice(key, scene.n_pad_objs, p=p)
+    """Uniform index over valid & unfrozen objects via Gumbel-argmax."""
+    g = jax.random.gumbel(key, (scene.n_pad_objs,))
+    return jnp.argmax(g + _unfrozen_logits(scene))
 
 
 def translation_sigmas(scene: Scene, cfg: SamplerConfig) -> tuple[Array, Array]:
@@ -53,56 +59,105 @@ def translation_sigmas(scene: Scene, cfg: SamplerConfig) -> tuple[Array, Array]:
     return (mxx - mnx) / 16.0, (mxy - mny) / 16.0
 
 
-def translate_move(
-    key: Array, pose: Array, scene: Scene, cfg: SamplerConfig, scale: Array
+def _apply_move(
+    pose: Array,
+    scene: Scene,
+    cfg: SamplerConfig,
+    scale: Array,
+    move: Array,
+    sel1: Array,
+    sel2: Array,
+    nrm: Array,
 ) -> Array:
-    k_obj, k_dx, k_dy = jax.random.split(key, 3)
-    obj = pick_unfrozen(k_obj, scene)
-    sx, sy = translation_sigmas(scene, cfg)
-    dx = jax.random.normal(k_dx) * sx * scale
-    dy = jax.random.normal(k_dy) * sy * scale
+    """Apply one move of type ``move`` in one-hot form (no scatter/gather).
+
+    ``sel1``/``sel2``: f32[N] one-hot object selectors; ``nrm``: f32[3]
+    standard normals for (dx, dy, dRot).
+    """
+    x, y, rot = pose[:, 0], pose[:, 1], pose[:, 4]
     mnx, mny, mxx, mxy = scene.surface_bounds()
-    nx = jnp.clip(pose[obj, 0] + dx, mnx, mxx)
-    ny = jnp.clip(pose[obj, 1] + dy, mny, mxy)
-    return pose.at[obj, 0].set(nx).at[obj, 1].set(ny)
+    sx, sy = translation_sigmas(scene, cfg)
 
+    is_t = (move == 0).astype(jnp.float32)
+    is_r = (move == 1).astype(jnp.float32)
+    is_s = move == 2
 
-def rotate_move(
-    key: Array, pose: Array, scene: Scene, cfg: SamplerConfig, scale: Array
-) -> Array:
-    k_obj, k_rot = jax.random.split(key)
-    obj = pick_unfrozen(k_obj, scene)
-    drot = jax.random.normal(k_rot) * cfg.sigma_t * scale
-    new_rot = wrap_angle_once(pose[obj, 4] + drot, cfg.mode.pi)
-    return pose.at[obj, 4].set(new_rot)
+    # translate (clamp == the reference's snap-to-edge, Kernel.cu:613-630)
+    dx = nrm[0] * sx * scale
+    dy = nrm[1] * sy * scale
+    w_t = is_t * sel1
+    new_x = x + w_t * (jnp.clip(x + dx, mnx, mxx) - x)
+    new_y = y + w_t * (jnp.clip(y + dy, mny, mxy) - y)
 
+    # rotate (single conditional wrap, Kernel.cu:648-651)
+    drot = nrm[2] * cfg.sigma_t * scale
+    new_rot = rot + (is_r * sel1) * (wrap_angle_once(rot + drot, cfg.mode.pi) - rot)
 
-def swap_move(key: Array, pose: Array, scene: Scene) -> Array:
-    k1, k2 = jax.random.split(key)
-    i = pick_unfrozen(k1, scene)
-    j = pick_unfrozen(k2, scene)
-    row_i, row_j = pose[i], pose[j]
-    swapped = pose.at[i].set(row_j).at[j].set(row_i)
-    return jnp.where(scene.n_objs >= 2, swapped, pose)
+    pose = pose.at[:, 0].set(new_x).at[:, 1].set(new_y).at[:, 4].set(new_rot)
+
+    # swap: pose += oh1*(row2-row1) + oh2*(row1-row2); one-hot matvec gathers
+    row1 = sel1 @ pose  # f32[6]
+    row2 = sel2 @ pose
+    diff = row2 - row1
+    can_swap = is_s & (scene.n_objs >= 2)
+    swap_delta = (sel1[:, None] - sel2[:, None]) * diff[None, :]
+    return pose + jnp.where(can_swap, 1.0, 0.0) * swap_delta
 
 
 def propose(
     key: Array, pose: Array, scene: Scene, cfg: SamplerConfig, scale: Array
 ) -> Array:
     """One single-object move, type uniform over {0,1,2} (``Kernel.cu:582``)."""
-    k_type, k_move = jax.random.split(key)
+    k_type, k_pick, k_nrm = jax.random.split(key, 3)
     move = jax.random.randint(k_type, (), 0, 3)
-    has_unfrozen = jnp.sum(scene.obj_mask * (1.0 - scene.frozen.astype(jnp.float32))) > 0
-    new_pose = jax.lax.switch(
-        move,
-        [
-            lambda k: translate_move(k, pose, scene, cfg, scale),
-            lambda k: rotate_move(k, pose, scene, cfg, scale),
-            lambda k: swap_move(k, pose, scene),
-        ],
-        k_move,
-    )
+    logits = _unfrozen_logits(scene)
+    g = jax.random.gumbel(k_pick, (scene.n_pad_objs, 2))
+    i1 = jnp.argmax(g[:, 0] + logits)
+    i2 = jnp.argmax(g[:, 1] + logits)
+    idx = jnp.arange(scene.n_pad_objs)
+    sel1 = (idx == i1).astype(jnp.float32)
+    sel2 = (idx == i2).astype(jnp.float32)
+    nrm = jax.random.normal(k_nrm, (3,))
+    new_pose = _apply_move(pose, scene, cfg, scale, move, sel1, sel2, nrm)
+    has_unfrozen = jnp.max(logits) > _NEG_HUGE / 2
     return jnp.where(has_unfrozen, new_pose, pose)
+
+
+# --- single-move reference-shaped wrappers (used by tests/diagnostics) ------
+
+
+def translate_move(
+    key: Array, pose: Array, scene: Scene, cfg: SamplerConfig, scale: Array
+) -> Array:
+    k_obj, k_nrm = jax.random.split(key)
+    sel = (jnp.arange(scene.n_pad_objs) == pick_unfrozen(k_obj, scene)).astype(
+        jnp.float32
+    )
+    nrm = jax.random.normal(k_nrm, (3,))
+    return _apply_move(pose, scene, cfg, scale, jnp.int32(0), sel, sel, nrm)
+
+
+def rotate_move(
+    key: Array, pose: Array, scene: Scene, cfg: SamplerConfig, scale: Array
+) -> Array:
+    k_obj, k_nrm = jax.random.split(key)
+    sel = (jnp.arange(scene.n_pad_objs) == pick_unfrozen(k_obj, scene)).astype(
+        jnp.float32
+    )
+    nrm = jax.random.normal(k_nrm, (3,))
+    return _apply_move(pose, scene, cfg, scale, jnp.int32(1), sel, sel, nrm)
+
+
+def swap_move(key: Array, pose: Array, scene: Scene) -> Array:
+    k1, k2 = jax.random.split(key)
+    idx = jnp.arange(scene.n_pad_objs)
+    sel1 = (idx == pick_unfrozen(k1, scene)).astype(jnp.float32)
+    sel2 = (idx == pick_unfrozen(k2, scene)).astype(jnp.float32)
+    cfg = SamplerConfig()
+    return _apply_move(
+        pose, scene, cfg, jnp.float32(1.0), jnp.int32(2), sel1, sel2,
+        jnp.zeros((3,), jnp.float32),
+    )
 
 
 def block_propose(
