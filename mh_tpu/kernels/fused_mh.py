@@ -1,0 +1,728 @@
+"""Pallas TPU kernel: the entire MH chain loop fused on-chip.
+
+The speed-of-light path the BASELINE performance gate asks for: proposal +
+cost + accept for a block of chains run **entirely in VMEM** across all
+iterations — one kernel launch per run, zero HBM round-trips between steps,
+on-chip PRNG (``pltpu.prng_*``), and no per-step XLA dispatch.
+
+Mapping (vs the reference's one-CUDA-block-per-chain, ``Kernel.cu:754``):
+one grid step processes ``BLOCK_CHAINS`` chains vectorized across sublanes;
+objects live in the 128-wide lane dimension; the N x N symmetry/off-limits
+matrices are evaluated per-chain as [N, N] VPU tiles. Scene gathers
+(relationship endpoints, clearance anchors) are precomputed one-hot
+matrices applied as tiny matmuls — no dynamic indexing in the hot loop.
+
+Semantics match :mod:`mh_tpu.sampler` (same moves, clamp/wrap rules, accept
+rule, PARITY/FIXED objective) with a different — still counter-based,
+deterministic — random stream, so chains are statistically equivalent but
+not bitwise equal to the XLA path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import os
+_DEBUG_SKIP = os.environ.get('MH_FUSED_SKIP', '')
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mh_tpu.config import BIG, CostMode, SamplerConfig
+from mh_tpu.models.scene import Scene
+
+Array = jax.Array
+
+BLOCK_CHAINS = 8  # chains per grid step (sublane tile)
+LANE = 128
+
+_NEG_HUGE = -1e30
+
+# scene plane indices (packed [P, N] array)
+P_MASK, P_LOGIT, P_AREA = 0, 1, 2
+P_OV0X, P_OTAILX, P_OMINX, P_OMINY, P_OMAXX, P_OMAXY = 3, 4, 5, 6, 7, 8
+N_PLANES = 9
+
+# scalar indices (packed f32[32] SMEM vector)
+(S_WPW, S_WVB, S_WFP, S_WSY, S_WCL, S_WOL, S_WSA,
+ S_CX2, S_CY2, S_FX, S_FY, S_FROT,
+ S_MNX, S_MNY, S_MXX, S_MXY,
+ S_SIGX, S_SIGY, S_SIGT, S_BETA, S_NOBJ, S_SCALE) = range(22)
+N_SCALARS = 32
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedScene:
+    """Host-side packing of a Scene for the fused kernel."""
+
+    planes: Array  # f32[N_PLANES, N]
+    scalars: Array  # f32[N_SCALARS]
+    rel_src_oh: Array  # f32[R, N]
+    rel_tgt_oh: Array  # f32[R, N]
+    rel_params: Array  # f32[R, 128]: 0 lo, 1 hi, 2 mask
+    ang_src_oh: Array
+    ang_tgt_oh: Array
+    ang_params: Array  # f32[A, 128]: 0 amin, 1 amax, 2 mask
+    clr_src_oh: Array  # f32[C, N]
+    clr_params: Array  # f32[C, 128]: 0 v0x, 1 tailx, 2 minx, 3 miny, 4 maxx,
+    #                    5 maxy, 6 mask, 7 parity_anchor (min(i, N-1))
+    n: int  # padded object lanes
+
+
+def pack_scene(scene: Scene, cfg: SamplerConfig) -> PackedScene:
+    """Pack a Scene into lane-aligned kernel inputs (done once per scene)."""
+    n0 = scene.n_pad_objs
+    n = _round_up(n0, LANE)
+
+    def padn(a):
+        return np.pad(np.asarray(a, np.float32), (0, n - n0))
+
+    mask = padn(scene.obj_mask)
+    ok = np.asarray(scene.obj_mask) * (1.0 - np.asarray(scene.frozen, np.float32))
+    logit = np.full(n, _NEG_HUGE, np.float32)
+    logit[:n0] = np.where(ok > 0, 0.0, _NEG_HUGE)
+    planes = np.zeros((N_PLANES, n), np.float32)
+    planes[P_MASK] = mask
+    planes[P_LOGIT] = logit
+    planes[P_AREA] = padn(np.asarray(scene.sizes)[:, 0] * np.asarray(scene.sizes)[:, 1])
+    planes[P_OV0X] = padn(scene.off_rects.v0x)
+    planes[P_OTAILX] = padn(scene.off_rects.tail_min_x)
+    planes[P_OMINX] = padn(scene.off_rects.min_x)
+    planes[P_OMINY] = padn(scene.off_rects.min_y)
+    planes[P_OMAXX] = padn(scene.off_rects.max_x)
+    planes[P_OMAXY] = padn(scene.off_rects.max_y)
+
+    mnx, mny, mxx, mxy = (float(v) for v in scene.surface_bounds())
+    sigx = (mxx - mnx) / 16.0
+    sigy = (mxy - mny) / 16.0
+    if cfg.sigma_xy_override > 0:
+        sigx = sigy = cfg.sigma_xy_override
+    scalars = np.zeros(N_SCALARS, np.float32)
+    scalars[S_WPW] = float(scene.w_pairwise)
+    scalars[S_WVB] = float(scene.w_visual_balance)
+    scalars[S_WFP] = float(scene.w_focal)
+    scalars[S_WSY] = float(scene.w_symmetry)
+    scalars[S_WCL] = float(scene.w_clearance)
+    scalars[S_WOL] = float(scene.w_offlimits)
+    scalars[S_WSA] = float(scene.w_surface_area)
+    scalars[S_CX2] = float(scene.centroid[0]) / 2.0
+    scalars[S_CY2] = float(scene.centroid[1]) / 2.0
+    scalars[S_FX] = float(scene.focal[0])
+    scalars[S_FY] = float(scene.focal[1])
+    scalars[S_FROT] = float(scene.focal_rot)
+    scalars[S_MNX], scalars[S_MNY] = mnx, mny
+    scalars[S_MXX], scalars[S_MXY] = mxx, mxy
+    scalars[S_SIGX], scalars[S_SIGY], scalars[S_SIGT] = sigx, sigy, cfg.sigma_t
+    scalars[S_BETA] = cfg.beta
+    scalars[S_NOBJ] = float(np.sum(np.asarray(scene.obj_mask) > 0))
+    scalars[S_SCALE] = 1.0
+
+    # Pad entity counts (relationships/angles/clearances) to a full lane
+    # tile: tiny 2-4 lane vectors trip Mosaic reduction-layout bugs and
+    # waste nothing at [*, 128].
+    def one_hot(idx, m):
+        out = np.zeros((LANE, n), np.float32)
+        out[np.arange(len(idx)), np.asarray(idx)] = np.asarray(m, np.float32)
+        return out
+
+    def params(cols):
+        out = np.zeros((LANE, LANE), np.float32)
+        for j, c in enumerate(cols):
+            out[: len(c), j] = np.asarray(c, np.float32)
+        return out
+
+    rel_m = np.asarray(scene.rel_mask)
+    ang_m = np.asarray(scene.ang_mask)
+    clr_m = np.asarray(scene.clr_mask)
+    clr_anchor = np.minimum(np.arange(len(clr_m)), n0 - 1)  # Kernel.cu:456 quirk
+
+    return PackedScene(
+        planes=jnp.asarray(planes),
+        scalars=jnp.asarray(scalars),
+        rel_src_oh=jnp.asarray(one_hot(scene.rel_src, rel_m)),
+        rel_tgt_oh=jnp.asarray(one_hot(scene.rel_tgt, rel_m)),
+        rel_params=jnp.asarray(params([scene.rel_lo, scene.rel_hi, rel_m])),
+        ang_src_oh=jnp.asarray(one_hot(scene.ang_src, ang_m)),
+        ang_tgt_oh=jnp.asarray(one_hot(scene.ang_tgt, ang_m)),
+        ang_params=jnp.asarray(params([scene.ang_min, scene.ang_max, ang_m])),
+        clr_src_oh=jnp.asarray(one_hot(scene.clr_src, clr_m)),
+        clr_params=jnp.asarray(
+            params(
+                [
+                    scene.clr_rects.v0x,
+                    scene.clr_rects.tail_min_x,
+                    scene.clr_rects.min_x,
+                    scene.clr_rects.min_y,
+                    scene.clr_rects.max_x,
+                    scene.clr_rects.max_y,
+                    clr_m,
+                    clr_anchor,
+                ]
+            )
+        ),
+        n=n,
+    )
+
+
+def _atan2(y, x):
+    """Branchless f32 atan2 (Mosaic has no atan2 lowering).
+
+    Minimax polynomial for atan on [0,1] + quadrant folding; max abs error
+    ~1e-6 rad, well inside the objective's f32 tolerance.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    a = mn / jnp.maximum(mx, 1e-30)
+    s = a * a
+    p = -0.0117212
+    p = p * s + 0.05265332
+    p = p * s + -0.11643287
+    p = p * s + 0.19354346
+    p = p * s + -0.33262347
+    p = p * s + 0.99997726
+    r = a * p
+    r = jnp.where(ay > ax, (math.pi / 2) - r, r)
+    r = jnp.where(x < 0, math.pi - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _uniform(shape):
+    """f32 uniforms in (0,1) from on-chip random bits."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32) >> 9
+    # >>9 leaves 23 bits, so the int32 view is non-negative and casts cleanly
+    return pltpu.bitcast(bits, jnp.int32).astype(jnp.float32) * (
+        1.0 / (1 << 23)
+    ) + 1e-7
+
+
+def _fused_kernel(
+    seed_ref,  # SMEM i32[1]
+    scal_ref,  # SMEM f32[N_SCALARS]
+    pose_ref,  # VMEM f32[6, B, N] (aliased in/out)
+    planes_ref,  # VMEM f32[N_PLANES, N]
+    rel_s_ref, rel_t_ref, rel_p_ref,
+    ang_s_ref, ang_t_ref, ang_p_ref,
+    clr_s_ref, clr_p_ref,
+    pose_out_ref,  # VMEM f32[6, B, N]
+    stats_ref,  # VMEM f32[B, LANE]: 0..7 breakdown, 8 n_accept
+    *,
+    iterations: int,
+    mode: CostMode,
+    n: int,
+    report_offlimits: bool,
+):
+    B = BLOCK_CHAINS
+    pi = mode.pi
+    parity = mode is CostMode.PARITY
+
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    mask = planes_ref[P_MASK, :]  # f32[N]
+    logit = planes_ref[P_LOGIT, :]
+    area = planes_ref[P_AREA, :]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
+    mask_row = mask.reshape(1, n)
+    col_mask = mask.reshape(1, n)  # [1,N] over j
+
+    beta = scal_ref[S_BETA]
+    w_pw, w_vb, w_fp = scal_ref[S_WPW], scal_ref[S_WVB], scal_ref[S_WFP]
+    w_sy, w_cl, w_ol, w_sa = (
+        scal_ref[S_WSY], scal_ref[S_WCL], scal_ref[S_WOL], scal_ref[S_WSA]
+    )
+    mnx, mny, mxx, mxy = (
+        scal_ref[S_MNX], scal_ref[S_MNY], scal_ref[S_MXX], scal_ref[S_MXY]
+    )
+    fx, fy, frot = scal_ref[S_FX], scal_ref[S_FY], scal_ref[S_FROT]
+    ux, uy = jnp.cos(frot), jnp.sin(frot)
+    n_objs = scal_ref[S_NOBJ]
+    has_unfrozen = jnp.max(logit) > _NEG_HUGE / 2
+
+    def aabb_minx(v0x, tailx, minx, tx):
+        if parity:
+            return jnp.minimum(v0x, tailx + tx)
+        return minx + tx
+
+    def obj_aabbs(x, y):
+        """Off-limits AABBs for pose planes x, y of shape [..., N]."""
+        omnx = aabb_minx(
+            planes_ref[P_OV0X, :], planes_ref[P_OTAILX, :], planes_ref[P_OMINX, :], x
+        )
+        omny = planes_ref[P_OMINY, :] + y
+        omxx = planes_ref[P_OMAXX, :] + x
+        omxy = planes_ref[P_OMAXY, :] + y
+        return omnx, omny, omxx, omxy
+
+    def inter_area(amnx, amny, amxx, amxy, bmnx, bmny, bmxx, bmxy):
+        x5 = jnp.maximum(amnx, bmnx)
+        y5 = jnp.maximum(amny, bmny)
+        x6 = jnp.minimum(amxx, bmxx)
+        y6 = jnp.minimum(amxy, bmxy)
+        empty = (x5 >= x6) | (y5 >= y6)
+        return jnp.where(empty, 0.0, (x6 - x5) * (y6 - y5))
+
+    def outside_area(rmnx, rmny, rmxx, rmxy):
+        a1 = inter_area(rmnx, rmny, rmxx, rmxy, -BIG, -BIG, BIG, mny)
+        a2 = inter_area(rmnx, rmny, rmxx, rmxy, -BIG, mny, mnx, mxy)
+        a3 = inter_area(rmnx, rmny, rmxx, rmxy, -BIG, mxy, BIG, BIG)
+        a4 = inter_area(rmnx, rmny, rmxx, rmxy, mxx, mny, BIG, mxy)
+        return a1 + a2 + a3 + a4
+
+    def theta_fn(xi, yi, xj, yj, ti):
+        t = _atan2(yi - yj, xi - xj)
+        t = jnp.where(t < 0, 2 * pi + t, t)
+        t = t - ti
+        return jnp.where(t < 0, 2 * pi + t, t)
+
+    def costs_of(x, y, rot, with_offlimits):
+        """Weighted breakdown for pose planes x/y/rot of shape [B, N].
+
+        Returns (total[B,1], terms dict of [B,1]).
+        """
+        xm = x * mask_row
+        ym = y * mask_row
+
+        # --- pairwise distance (Kernel.cu:210-233), via one-hot matmuls ----
+        if 'rel' in _DEBUG_SKIP:
+            pw = jnp.zeros((B, 1), jnp.float32)
+            pwa = jnp.zeros((B, 1), jnp.float32)
+        rel_s = rel_s_ref[:, :]  # [R, N]
+        rel_t = rel_t_ref[:, :]
+        sx = jax.lax.dot_general(  # [B, R]
+            x, rel_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        sy_ = jax.lax.dot_general(
+            y, rel_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        tx = jax.lax.dot_general(
+            x, rel_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ty = jax.lax.dot_general(
+            y, rel_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        r_cnt = rel_s.shape[0]
+        lo = rel_p_ref[:, 0].reshape(1, r_cnt)
+        hi = rel_p_ref[:, 1].reshape(1, r_cnt)
+        rm = rel_p_ref[:, 2].reshape(1, r_cnt)
+        d = jnp.sqrt(jnp.square(sx - tx) + jnp.square(sy_ - ty))
+        lo_safe = jnp.where(lo > 0, lo, 1.0)
+        d_safe = jnp.where(d > 0, d, 1.0)
+        pen = jnp.where(
+            d < lo, -jnp.square(d / lo_safe),
+            jnp.where(d > hi, -jnp.square(hi / d_safe), 0.0),
+        )
+        pw = jnp.sum(pen * rm, axis=1, keepdims=True)  # [B,1]
+
+        # --- pairwise angle (Kernel.cu:236-263) ----------------------------
+        a_s = ang_s_ref[:, :]
+        a_t = ang_t_ref[:, :]
+        asx = jax.lax.dot_general(
+            x, a_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        asy = jax.lax.dot_general(
+            y, a_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        atx = jax.lax.dot_general(
+            x, a_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        aty = jax.lax.dot_general(
+            y, a_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        atr = jax.lax.dot_general(
+            rot, a_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        a_cnt = a_s.shape[0]
+        amin = ang_p_ref[:, 0].reshape(1, a_cnt)
+        amax = ang_p_ref[:, 1].reshape(1, a_cnt)
+        am = ang_p_ref[:, 2].reshape(1, a_cnt)
+        th = theta_fn(asx, asy, atx, aty, atr)
+        dev = jnp.minimum(jnp.abs(th - amin), jnp.abs(th - amax))
+        wrap_case = amin > amax
+        norm_wrap = jnp.where(wrap_case, (amin - amax) / 2.0, 1.0)
+        cond_wrap = jnp.mod(amin + th, 2 * pi) > amax
+        npl_raw = (2 * pi - (amax - amin)) / 2.0
+        npl = jnp.where(npl_raw != 0, npl_raw, 1.0)
+        if parity:
+            cond_plain = (amin < th) | (th < amax)
+        else:
+            cond_plain = (th < amin) | (th > amax)
+        apen = jnp.where(
+            wrap_case,
+            jnp.where(cond_wrap, -dev / norm_wrap, 0.0),
+            jnp.where(cond_plain, -dev / npl, 0.0),
+        )
+        pwa = jnp.sum(apen * am, axis=1, keepdims=True)
+
+        # --- visual balance (Kernel.cu:191-207) ----------------------------
+        area_row = area.reshape(1, n)
+        denom = jnp.sum(area_row * mask_row)
+        denom = jnp.where(denom > 0, denom, 1.0)
+        nx = jnp.sum(area_row * xm, axis=1, keepdims=True) / denom
+        ny = jnp.sum(area_row * ym, axis=1, keepdims=True) / denom
+        vb = -jnp.sqrt(
+            jnp.square(nx - scal_ref[S_CX2]) + jnp.square(ny - scal_ref[S_CY2])
+        )
+
+        # --- focal point (Kernel.cu:266-281) -------------------------------
+        ph = _atan2(fy - y, fx - x) - rot + pi / 2.0
+        fp = jnp.sum(-jnp.cos(ph) * mask_row, axis=1, keepdims=True)
+
+        # --- per-chain N x N terms: symmetry + off-limits ------------------
+        sym_list = []
+        off_list = []
+        for b in (() if 'sym' in _DEBUG_SKIP else range(B)):
+            xb = x[b].reshape(1, n)
+            yb = y[b].reshape(1, n)
+            rb = rot[b].reshape(1, n)
+            s = 2.0 * (fx * ux + fy * uy - (xb * ux + yb * uy))
+            rx = xb + s * ux
+            ry = yb + s * uy
+            rrot = 2.0 * frot - rb
+            rrot = jnp.where(rrot < -pi, rrot + 2 * pi, rrot)
+            # [i, j]: reflection of i vs candidate j
+            dp = jnp.sqrt(
+                jnp.square(xb - rx.reshape(n, 1)) + jnp.square(yb - ry.reshape(n, 1))
+            )
+            dt = rb - rrot.reshape(n, 1)
+            dt = jnp.where(dt > pi, dt - 2 * pi, dt)
+            val = 5.0 - jnp.sqrt(dp) - 0.4 * jnp.abs(dt)
+            val = jnp.where(col_mask > 0, val, _NEG_HUGE)
+            best = jnp.maximum(jnp.max(val, axis=1, keepdims=True), 0.0)  # [N,1]
+            sym_list.append(-jnp.sum(best * mask.reshape(n, 1)))
+
+            if with_offlimits:
+                omnx, omny, omxx, omxy = obj_aabbs(xb, yb)
+                ar = inter_area(
+                    omnx.reshape(n, 1), omny.reshape(n, 1),
+                    omxx.reshape(n, 1), omxy.reshape(n, 1),
+                    omnx, omny, omxx, omxy,
+                )
+                ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                tri = (jj > ii).astype(jnp.float32)
+                off_list.append(
+                    -jnp.sum(ar * tri * mask.reshape(n, 1) * mask_row)
+                )
+
+        if 'sym' in _DEBUG_SKIP:
+            sym = jnp.zeros((B, 1), jnp.float32)
+            off_list = []
+        else:
+            sym = jnp.stack(sym_list).reshape(B, 1)
+        off = (
+            jnp.stack(off_list).reshape(B, 1)
+            if (with_offlimits and off_list)
+            else jnp.zeros((B, 1), jnp.float32)
+        )
+
+        # --- clearance (Kernel.cu:404-434): [B, C] anchors x [B, N] objs ---
+        c_cnt = clr_s_ref.shape[0]
+        cax = jax.lax.dot_general(  # [B, C] anchor translations
+            x, clr_s_ref[:, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cay = jax.lax.dot_general(
+            y, clr_s_ref[:, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cv0 = clr_p_ref[:, 0].reshape(1, c_cnt)
+        ctl = clr_p_ref[:, 1].reshape(1, c_cnt)
+        cmn = clr_p_ref[:, 2].reshape(1, c_cnt)
+        cmy = clr_p_ref[:, 3].reshape(1, c_cnt)
+        cMx = clr_p_ref[:, 4].reshape(1, c_cnt)
+        cMy = clr_p_ref[:, 5].reshape(1, c_cnt)
+        cm = clr_p_ref[:, 6].reshape(1, c_cnt)
+        clr_list = []
+        sa_rows = []
+        for b in (() if 'clr' in _DEBUG_SKIP else range(B)):
+            xb = x[b].reshape(1, n)
+            yb = y[b].reshape(1, n)
+            cmnx_b = aabb_minx(cv0, ctl, cmn, cax[b].reshape(1, c_cnt))
+            cmny_b = cmy + cay[b].reshape(1, c_cnt)
+            cmxx_b = cMx + cax[b].reshape(1, c_cnt)
+            cmxy_b = cMy + cay[b].reshape(1, c_cnt)
+            omnx, omny, omxx, omxy = obj_aabbs(xb, yb)
+            ar = inter_area(
+                cmnx_b.reshape(c_cnt, 1), cmny_b.reshape(c_cnt, 1),
+                cmxx_b.reshape(c_cnt, 1), cmxy_b.reshape(c_cnt, 1),
+                omnx, omny, omxx, omxy,
+            )  # [C, N]
+            clr_list.append(-jnp.sum(ar * cm.reshape(c_cnt, 1) * mask_row))
+            # surface-area: clearance rects (parity anchor = clearance index)
+            if parity:
+                anc = clr_p_ref[:, 7].reshape(1, c_cnt)  # min(i, n0-1)
+                anc_oh = (iota_n.reshape(1, n) == anc.reshape(c_cnt, 1)).astype(
+                    jnp.float32
+                )  # [C, N]
+                pax = jnp.sum(anc_oh * xb, axis=1, keepdims=True).reshape(1, c_cnt)
+                pay = jnp.sum(anc_oh * yb, axis=1, keepdims=True).reshape(1, c_cnt)
+            else:
+                pax = cax[b].reshape(1, c_cnt)
+                pay = cay[b].reshape(1, c_cnt)
+            smnx_c = aabb_minx(cv0, ctl, cmn, pax)
+            # defer the reduction: tiny [1,C] reductions trip Mosaic layout
+            # bugs — stack rows and reduce once over a [B,C] tile below
+            sa_rows.append(outside_area(smnx_c, cmy + pay, cMx + pax, cMy + pay))
+
+        if 'clr' in _DEBUG_SKIP:
+            clr_sum = jnp.zeros((B, 1), jnp.float32)
+            sa_clr = jnp.zeros((B, 1), jnp.float32)
+        else:
+            clr_sum = jnp.stack(clr_list).reshape(B, 1)
+            sa_mat = jnp.concatenate(sa_rows, axis=0)  # [B, C]
+            sa_clr = -jnp.sum(sa_mat * cm, axis=1, keepdims=True)
+
+        # --- surface area for object off-limits rects (Kernel.cu:469-480) --
+        omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N] planes
+        obj_out = outside_area(omnx, omny, omxx, omxy)
+        sa = sa_clr + (-jnp.sum(obj_out * mask_row, axis=1, keepdims=True))
+
+        # --- aggregate (Kernel.cu:516-550) ---------------------------------
+        if parity:
+            pair_w = w_pw * (pw * pwa)
+        else:
+            pair_w = w_pw * (pw + pwa)
+        vb_w = w_vb * vb
+        fp_w = w_fp * fp
+        sym_w = w_sy * sym
+        off_w = w_ol * off
+        clr_w = w_cl * clr_sum
+        sa_w = w_sa * sa
+        total = pair_w + vb_w + fp_w + sym_w + clr_w + sa_w
+        if not parity:
+            total = total + off_w
+        return total, (pair_w, vb_w, fp_w, sym_w, clr_w, off_w, sa_w)
+
+    def scratch_body(x_s, y_s, rot_s, aux_s, cur_s):
+        # aux planes: z, rotX, rotZ — only touched by swaps
+        x_s[:, :] = pose_ref[0, :, :]
+        y_s[:, :] = pose_ref[1, :, :]
+        aux_s[0, :, :] = pose_ref[2, :, :]
+        aux_s[1, :, :] = pose_ref[3, :, :]
+        rot_s[:, :] = pose_ref[4, :, :]
+        aux_s[2, :, :] = pose_ref[5, :, :]
+
+        total0, _ = costs_of(x_s[:, :], y_s[:, :], rot_s[:, :], not parity)
+        cur_s[:, 0:1] = total0
+        cur_s[:, 1:2] = jnp.zeros((B, 1), jnp.float32)  # accept count
+
+        sigx, sigy, sigt = scal_ref[S_SIGX], scal_ref[S_SIGY], scal_ref[S_SIGT]
+        scale = scal_ref[S_SCALE]
+
+        def iter_body(t, _):
+            x = x_s[:, :]
+            y = y_s[:, :]
+            rot = rot_s[:, :]
+
+            # --- randomness: one [B, 2N] block + one [B, LANE] block -------
+            if 'rng' in _DEBUG_SKIP:
+                ug = jnp.full((B, 2 * n), 0.5, jnp.float32)
+                us = jnp.full((B, LANE), 0.5, jnp.float32)
+            else:
+                ug = _uniform((B, 2 * n))
+                us = _uniform((B, LANE))
+
+            move = jnp.minimum((us[:, 0:1] * 3.0).astype(jnp.int32), 2)  # [B,1]
+            u_acc = us[:, 1:2]
+            r1 = jnp.sqrt(-2.0 * jnp.log(us[:, 2:3]))
+            r2 = jnp.sqrt(-2.0 * jnp.log(us[:, 4:5]))
+            two_pi = 2.0 * math.pi
+            dx = r1 * jnp.cos(two_pi * us[:, 3:4]) * sigx * scale
+            dy = r1 * jnp.sin(two_pi * us[:, 3:4]) * sigy * scale
+            drot = r2 * jnp.cos(two_pi * us[:, 5:6]) * sigt * scale
+
+            g1 = -jnp.log(-jnp.log(ug[:, :n])) + logit.reshape(1, n)
+            g2 = -jnp.log(-jnp.log(ug[:, n:])) + logit.reshape(1, n)
+            sel1 = (g1 >= jnp.max(g1, axis=1, keepdims=True)).astype(jnp.float32)
+            sel2 = (g2 >= jnp.max(g2, axis=1, keepdims=True)).astype(jnp.float32)
+            # ties are measure-zero among unfrozen; normalize defensively
+            sel1 = sel1 / jnp.maximum(jnp.sum(sel1, axis=1, keepdims=True), 1.0)
+            sel2 = sel2 / jnp.maximum(jnp.sum(sel2, axis=1, keepdims=True), 1.0)
+
+            is_t = (move == 0).astype(jnp.float32)
+            is_r = (move == 1).astype(jnp.float32)
+            is_s = ((move == 2) & (n_objs >= 2)).astype(jnp.float32)
+
+            w_t = is_t * sel1
+            x_star = x + w_t * (jnp.clip(x + dx, mnx, mxx) - x)
+            y_star = y + w_t * (jnp.clip(y + dy, mny, mxy) - y)
+            wrapped = rot + drot
+            wrapped = jnp.where(wrapped < 0, wrapped + 2 * pi, wrapped)
+            wrapped = jnp.where(wrapped > 2 * pi, wrapped - 2 * pi, wrapped)
+            rot_star = rot + (is_r * sel1) * (wrapped - rot)
+
+            # swap deltas for all 6 planes
+            sw = is_s * jnp.where(has_unfrozen, 1.0, 0.0)
+            dsel = sel1 - sel2
+
+            def swapped(plane_star, plane):
+                r1v = jnp.sum(sel1 * plane, axis=1, keepdims=True)
+                r2v = jnp.sum(sel2 * plane, axis=1, keepdims=True)
+                return plane_star + sw * dsel * (r2v - r1v)
+
+            x_star = swapped(x_star, x)
+            y_star = swapped(y_star, y)
+            rot_star = swapped(rot_star, rot)
+
+            gate = jnp.where(has_unfrozen, 1.0, 0.0)
+            x_star = x + gate * (x_star - x)
+            y_star = y + gate * (y_star - y)
+            rot_star = rot + gate * (rot_star - rot)
+
+            total_star, _ = costs_of(x_star, y_star, rot_star, not parity)
+            cur = cur_s[:, 0:1]
+            ratio = jnp.exp(jnp.minimum(beta * (total_star - cur), 0.0))
+            acc = (u_acc < ratio).astype(jnp.float32) * gate  # [B,1]
+
+            x_s[:, :] = x + acc * (x_star - x)
+            y_s[:, :] = y + acc * (y_star - y)
+            rot_s[:, :] = rot + acc * (rot_star - rot)
+            # swap is the only move touching aux planes
+            for k in range(3):
+                plane = aux_s[k, :, :]
+                r1v = jnp.sum(sel1 * plane, axis=1, keepdims=True)
+                r2v = jnp.sum(sel2 * plane, axis=1, keepdims=True)
+                aux_s[k, :, :] = plane + acc * sw * dsel * (r2v - r1v)
+            cur_s[:, 0:1] = cur + acc * (total_star - cur)
+            cur_s[:, 1:2] = cur_s[:, 1:2] + acc
+            return 0
+
+        jax.lax.fori_loop(0, iterations, iter_body, 0)
+
+        # final full breakdown (includes OffLimits for reporting)
+        total, terms = costs_of(x_s[:, :], y_s[:, :], rot_s[:, :], report_offlimits)
+        pair_w, vb_w, fp_w, sym_w, clr_w, off_w, sa_w = terms
+
+        pose_out_ref[0, :, :] = x_s[:, :]
+        pose_out_ref[1, :, :] = y_s[:, :]
+        pose_out_ref[2, :, :] = aux_s[0, :, :]
+        pose_out_ref[3, :, :] = aux_s[1, :, :]
+        pose_out_ref[4, :, :] = rot_s[:, :]
+        pose_out_ref[5, :, :] = aux_s[2, :, :]
+
+        stats_ref[:, :] = jnp.concatenate(
+            [
+                total, pair_w, vb_w, fp_w, sym_w, clr_w, off_w, sa_w,
+                cur_s[:, 1:2],
+                jnp.zeros((B, LANE - 9), jnp.float32),
+            ],
+            axis=1,
+        )
+
+    pl.run_scoped(
+        scratch_body,
+        x_s=pltpu.VMEM((B, n), jnp.float32),
+        y_s=pltpu.VMEM((B, n), jnp.float32),
+        rot_s=pltpu.VMEM((B, n), jnp.float32),
+        aux_s=pltpu.VMEM((3, B, n), jnp.float32),
+        cur_s=pltpu.VMEM((B, LANE), jnp.float32),
+    )
+
+
+def run_chains_fused(
+    seed: Array,
+    pose0: Array,
+    scene: Scene,
+    cfg: SamplerConfig,
+    n_chains: int,
+    iterations: int,
+    interpret: bool = False,
+):
+    """Run ``n_chains`` MH chains fully fused on-chip.
+
+    Returns ``(pose f32[n_chains, N0, 6], breakdown f32[n_chains, 8],
+    n_accept i32[n_chains])`` where N0 is the scene's padded object count.
+    Chains are grouped in blocks of ``BLOCK_CHAINS`` per grid step.
+
+    Not itself jitted: the scene is packed on host (numpy) once per call;
+    the pallas_call below is a single compiled program covering the whole
+    run, so per-call overhead is one dispatch.
+    """
+    if n_chains % BLOCK_CHAINS:
+        raise ValueError(f"n_chains must be a multiple of {BLOCK_CHAINS}")
+    packed = pack_scene(scene, cfg)
+    n = packed.n
+    n0 = scene.n_pad_objs
+
+    # pose planes [6, C, N]
+    pose_planes = jnp.zeros((6, n_chains, n), jnp.float32)
+    p0 = pose0 if pose0.ndim == 3 else jnp.broadcast_to(pose0, (n_chains, n0, 6))
+    pose_planes = pose_planes.at[:, :, :n0].set(jnp.transpose(p0, (2, 0, 1)))
+
+    grid = (n_chains // BLOCK_CHAINS,)
+    rep = lambda *_: (0, 0)  # replicated 2-D scene inputs
+    rep3 = lambda *_: (0, 0, 0)
+
+    kernel = functools.partial(
+        _fused_kernel,
+        iterations=iterations,
+        mode=cfg.mode,
+        n=n,
+        report_offlimits=True,
+    )
+    pose_out, stats = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # seed + scalars in SMEM
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (6, BLOCK_CHAINS, n), lambda g, *_: (0, g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((N_PLANES, n), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(packed.rel_src_oh.shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(packed.rel_tgt_oh.shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(packed.rel_params.shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(packed.ang_src_oh.shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(packed.ang_tgt_oh.shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(packed.ang_params.shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(packed.clr_src_oh.shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(packed.clr_params.shape, rep, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (6, BLOCK_CHAINS, n), lambda g, *_: (0, g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (BLOCK_CHAINS, LANE), lambda g, *_: (g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((6, n_chains, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_chains, LANE), jnp.float32),
+        ],
+    )(
+        jnp.asarray([seed], jnp.int32),
+        packed.scalars,
+        pose_planes,
+        packed.planes,
+        packed.rel_src_oh,
+        packed.rel_tgt_oh,
+        packed.rel_params,
+        packed.ang_src_oh,
+        packed.ang_tgt_oh,
+        packed.ang_params,
+        packed.clr_src_oh,
+        packed.clr_params,
+    )
+
+    pose = jnp.transpose(pose_out[:, :, :n0], (1, 2, 0))  # [C, N0, 6]
+    breakdown = stats[:, :8]
+    n_accept = stats[:, 8].astype(jnp.int32)
+    return pose, breakdown, n_accept
+
+

@@ -228,13 +228,23 @@ def surface_area_costs(pose: Array, scene: Scene, mode: CostMode) -> Array:
     )
 
 
-def cost_terms(pose: Array, scene: Scene, mode: CostMode = CostMode.PARITY) -> CostBreakdown:
+def cost_terms(
+    pose: Array,
+    scene: Scene,
+    mode: CostMode = CostMode.PARITY,
+    skip_unused_offlimits: bool = False,
+) -> CostBreakdown:
     """Weighted breakdown + total — the ``Costs`` aggregator (``Kernel.cu:516-550``).
 
     Parity: weighted pair term = w_pairwise * (PairWise * PairWiseAngle)
     (product, ``:518``); total excludes OffLimits (``:547``).
     Fixed: pair term = w_pairwise * (PairWise + PairWiseAngle); total
     includes OffLimits.
+
+    ``skip_unused_offlimits``: in PARITY mode OffLimits never enters the
+    total, so the MH hot loop can skip its O(N^2) matrix entirely (the
+    breakdown then reports 0 for it; callers recompute it once on the final
+    pose for faithful reporting). No-op in FIXED mode.
     """
     pw = pair_wise_costs(pose, scene)
     pwa = pair_wise_angle_costs(pose, scene, mode)
@@ -245,7 +255,10 @@ def cost_terms(pose: Array, scene: Scene, mode: CostMode = CostMode.PARITY) -> C
     vb = scene.w_visual_balance * visual_balance_costs(pose, scene)
     fp = scene.w_focal * focal_point_costs(pose, scene, mode)
     sym = scene.w_symmetry * symmetry_costs(pose, scene, mode)
-    off = scene.w_offlimits * off_limits_costs(pose, scene, mode)
+    if skip_unused_offlimits and mode is CostMode.PARITY:
+        off = jnp.float32(0.0)
+    else:
+        off = scene.w_offlimits * off_limits_costs(pose, scene, mode)
     clr = scene.w_clearance * clearance_costs(pose, scene, mode)
     sa = scene.w_surface_area * surface_area_costs(pose, scene, mode)
     total = pair + vb + fp + sym + clr + sa

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from mh_tpu.config import SamplerConfig
 from mh_tpu.models.scene import Scene
-from mh_tpu.sampler.mh import MHState, mh_init, mh_step
+from mh_tpu.sampler.mh import MHState, finalize_costs, mh_init, mh_step
 from mh_tpu.parallel.mesh import CHAINS_AXIS, to_varying as _varying
 
 Array = jax.Array
@@ -59,7 +59,7 @@ def run_chains_sharded(
                 return mh_step(s, scene_rep, cfg), None
 
             state, _ = jax.lax.scan(body, state, None, length=cfg.iterations)
-            return state
+            return finalize_costs(state, scene_rep, cfg)
 
         return jax.vmap(one_chain)(keys, p0)
 
@@ -130,6 +130,7 @@ def run_chains_collective(
         (states, log_scale), rates = jax.lax.scan(
             round_body, (states, jnp.float32(0.0)), None, length=rounds
         )
+        states = jax.vmap(lambda s: finalize_costs(s, scene_rep, cfg))(states)
         return states, rates, log_scale
 
     sharded = jax.shard_map(

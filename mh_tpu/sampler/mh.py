@@ -60,11 +60,29 @@ def mh_init(pose: Array, scene: Scene, key: Array,
             mode: CostMode = CostMode.PARITY) -> MHState:
     return MHState(
         pose=pose,
-        costs=cost_terms(pose, scene, mode),
+        costs=cost_terms(pose, scene, mode, skip_unused_offlimits=True),
         key=key,
         step=jnp.int32(0),
         n_accept=jnp.int32(0),
         log_scale=jnp.float32(0.0),
+    )
+
+
+def finalize_costs(state: MHState, scene: Scene, cfg: SamplerConfig) -> MHState:
+    """Fill in the OffLimits term skipped during the hot loop (PARITY mode).
+
+    The hot loop omits the O(N^2) OffLimits matrix because the reference
+    excludes it from the accept total (``Kernel.cu:547``); for faithful
+    reporting (``resultCosts.OffLimitsCosts``, ``Kernel.cu:142``) it is
+    recomputed once here on the final pose.
+    """
+    if cfg.mode is not CostMode.PARITY:
+        return state
+    from mh_tpu.ops.costs import off_limits_costs  # local to avoid cycle noise
+
+    off = scene.w_offlimits * off_limits_costs(state.pose, scene, cfg.mode)
+    return dataclasses.replace(
+        state, costs=dataclasses.replace(state.costs, off_limits=off)
     )
 
 
@@ -80,7 +98,7 @@ def mh_step(
     k_prop, k_acc = jax.random.split(key_step)
     scale = jnp.exp(state.log_scale)
     star = block_propose(k_prop, state.pose, scene, cfg, scale)
-    star_costs = cost_terms(star, scene, cfg.mode)
+    star_costs = cost_terms(star, scene, cfg.mode, skip_unused_offlimits=True)
     acc = boltzmann_accept(
         k_acc, star_costs.total, state.costs.total,
         cfg.beta if beta is None else beta,
@@ -126,7 +144,7 @@ def run_chain(
         return s, (s.costs.total if trace_costs else None)
 
     state, trace = jax.lax.scan(body, state, None, length=cfg.iterations)
-    return state, trace
+    return finalize_costs(state, scene, cfg), trace
 
 
 @partial(jax.jit, static_argnames=("cfg", "trace_costs"))

@@ -104,23 +104,59 @@ def _apply_move(
     return pose + jnp.where(can_swap, 1.0, 0.0) * swap_delta
 
 
+def uniforms_per_move(n_pad_objs: int) -> int:
+    """Length of the uniform plane one move consumes (see propose_from_uniforms)."""
+    return 2 * n_pad_objs + 8
+
+
+def propose_from_uniforms(
+    u: Array, pose: Array, scene: Scene, cfg: SamplerConfig, scale: Array
+) -> Array:
+    """One move driven by a pre-drawn uniform plane ``u`` (f32[2N+8]).
+
+    Deriving every random quantity (move type, Gumbel picks, Box-Muller
+    normals) from a single threefry sweep keeps the per-step RNG to one
+    fused kernel instead of ~5 separate draws — a large share of step time
+    at small N. Layout: u[0] move type; u[2:6] Box-Muller inputs;
+    u[8:8+2N] Gumbel picks.
+    """
+    n = scene.n_pad_objs
+    eps = 1e-7
+    move = jnp.minimum((u[0] * 3.0).astype(jnp.int32), 2)
+
+    # Box-Muller: 3 standard normals (dx, dy, dRot) from 4 uniforms
+    r1 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[2], eps)))
+    r2 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u[4], eps)))
+    two_pi = 2.0 * jnp.pi
+    nrm = jnp.stack(
+        [
+            r1 * jnp.cos(two_pi * u[3]),
+            r1 * jnp.sin(two_pi * u[3]),
+            r2 * jnp.cos(two_pi * u[5]),
+        ]
+    )
+
+    # Gumbel-argmax picks over the unfrozen set
+    ug = jnp.clip(u[8 : 8 + 2 * n].reshape(n, 2), eps, 1.0 - eps)
+    g = -jnp.log(-jnp.log(ug))
+    logits = _unfrozen_logits(scene)
+    i1 = jnp.argmax(g[:, 0] + logits)
+    i2 = jnp.argmax(g[:, 1] + logits)
+    idx = jnp.arange(n)
+    sel1 = (idx == i1).astype(jnp.float32)
+    sel2 = (idx == i2).astype(jnp.float32)
+
+    new_pose = _apply_move(pose, scene, cfg, scale, move, sel1, sel2, nrm)
+    has_unfrozen = jnp.max(logits) > _NEG_HUGE / 2
+    return jnp.where(has_unfrozen, new_pose, pose)
+
+
 def propose(
     key: Array, pose: Array, scene: Scene, cfg: SamplerConfig, scale: Array
 ) -> Array:
     """One single-object move, type uniform over {0,1,2} (``Kernel.cu:582``)."""
-    k_type, k_pick, k_nrm = jax.random.split(key, 3)
-    move = jax.random.randint(k_type, (), 0, 3)
-    logits = _unfrozen_logits(scene)
-    g = jax.random.gumbel(k_pick, (scene.n_pad_objs, 2))
-    i1 = jnp.argmax(g[:, 0] + logits)
-    i2 = jnp.argmax(g[:, 1] + logits)
-    idx = jnp.arange(scene.n_pad_objs)
-    sel1 = (idx == i1).astype(jnp.float32)
-    sel2 = (idx == i2).astype(jnp.float32)
-    nrm = jax.random.normal(k_nrm, (3,))
-    new_pose = _apply_move(pose, scene, cfg, scale, move, sel1, sel2, nrm)
-    has_unfrozen = jnp.max(logits) > _NEG_HUGE / 2
-    return jnp.where(has_unfrozen, new_pose, pose)
+    u = jax.random.uniform(key, (uniforms_per_move(scene.n_pad_objs),))
+    return propose_from_uniforms(u, pose, scene, cfg, scale)
 
 
 # --- single-move reference-shaped wrappers (used by tests/diagnostics) ------
@@ -168,12 +204,13 @@ def block_propose(
     Capability-equivalent to the reference's per-thread simultaneous
     proposals on shared memory (``Kernel.cu:798``), without the races.
     """
-    if cfg.n_moves_per_step == 1:
-        return propose(key, pose, scene, cfg, scale)
-    keys = jax.random.split(key, cfg.n_moves_per_step)
+    k = cfg.n_moves_per_step
+    u = jax.random.uniform(key, (k, uniforms_per_move(scene.n_pad_objs)))
+    if k == 1:
+        return propose_from_uniforms(u[0], pose, scene, cfg, scale)
 
-    def body(p, k):
-        return propose(k, p, scene, cfg, scale), None
+    def body(p, u_row):
+        return propose_from_uniforms(u_row, p, scene, cfg, scale), None
 
-    out, _ = jax.lax.scan(body, pose, keys)
+    out, _ = jax.lax.scan(body, pose, u)
     return out

@@ -26,7 +26,7 @@ from mh_tpu.config import SamplerConfig
 from mh_tpu.models.scene import Scene
 from mh_tpu.ops.costs import cost_terms
 from mh_tpu.parallel.mesh import CHAINS_AXIS, to_varying
-from mh_tpu.sampler.mh import mh_init, mh_step
+from mh_tpu.sampler.mh import finalize_costs, mh_init, mh_step
 
 Array = jax.Array
 
@@ -138,6 +138,7 @@ def run_smc(
         (states, log_w, log_z), (ess_trace, resampled) = jax.lax.scan(
             stage, (states, log_w, jnp.float32(0.0)), jnp.arange(n_stages)
         )
+        states = jax.vmap(lambda s: finalize_costs(s, scene_rep, cfg))(states)
         return states, log_w, log_z, ess_trace, resampled
 
     sharded = jax.shard_map(

@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from mh_tpu.config import SamplerConfig
 from mh_tpu.models.scene import Scene
 from mh_tpu.parallel.mesh import CHAINS_AXIS, to_varying
-from mh_tpu.sampler.mh import MHState, mh_init, mh_step
+from mh_tpu.sampler.mh import MHState, finalize_costs, mh_init, mh_step
 
 Array = jax.Array
 
@@ -171,6 +171,7 @@ def run_tempered(
         states, swap_rates = jax.lax.scan(
             round_body, states, jnp.arange(rounds)
         )
+        states = jax.vmap(lambda s: finalize_costs(s, scene_rep, cfg))(states)
         return states, swap_rates
 
     sharded = jax.shard_map(

@@ -1,0 +1,61 @@
+"""Fused Pallas kernel correctness vs the XLA path (TPU hardware only).
+
+The kernel uses on-chip PRNG primitives with no CPU interpreter support, so
+these tests run only when a real TPU is the default backend (e.g. via
+``MH_TPU_TEST_PLATFORM=axon python -m pytest tests/test_fused_kernel.py``).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from mh_tpu.config import CostMode, SamplerConfig
+from mh_tpu.models.scene import demo_scene
+from mh_tpu.ops.costs import cost_terms
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="fused kernel needs TPU PRNG primitives",
+)
+
+
+@pytest.mark.parametrize("mode", [CostMode.PARITY, CostMode.FIXED])
+def test_fused_matches_xla_costs(mode):
+    from mh_tpu.kernels.fused_mh import run_chains_fused
+
+    spec = demo_scene(32)
+    scene = spec.build()
+    cfg = SamplerConfig(mode=mode)
+    pose, breakdown, n_acc = run_chains_fused(
+        0, spec.initial_pose(), scene, cfg, 8, 50
+    )
+    pose = np.asarray(pose)
+    assert not np.isnan(pose).any()
+    acc = np.asarray(n_acc)
+    assert acc.min() >= 0 and acc.max() <= 50 and acc.mean() > 5
+    for c in range(8):
+        ref = cost_terms(pose[c], scene, mode)
+        np.testing.assert_allclose(
+            float(breakdown[c, 0]), float(ref.total), rtol=2e-4, atol=2e-3
+        )
+
+
+def test_fused_zero_iterations_is_identity():
+    from mh_tpu.kernels.fused_mh import run_chains_fused
+
+    spec = demo_scene(16)
+    scene = spec.build()
+    pose, breakdown, n_acc = run_chains_fused(
+        7, spec.initial_pose(), scene, SamplerConfig(), 8, 0
+    )
+    np.testing.assert_allclose(
+        np.asarray(pose[0]), np.asarray(spec.initial_pose()), atol=1e-6
+    )
+    ref = cost_terms(spec.initial_pose(), scene, CostMode.PARITY)
+    np.testing.assert_allclose(
+        np.asarray(breakdown[0]),
+        np.asarray(ref.as_vector()),
+        rtol=2e-4,
+        atol=2e-3,
+    )
+    assert int(np.asarray(n_acc)[0]) == 0
