@@ -122,6 +122,75 @@ def bench_pi(n_samples: int = 1 << 24) -> dict:
     return {"samples_per_s": n_samples / dt, "pi_estimate": est, "wall_s": dt}
 
 
+def bench_pi_fused(n_samples: int = 1 << 26) -> dict:
+    from mh_tpu.kernels.pi_kernel import estimate_pi_fused  # noqa: PLC0415
+
+    est, total = estimate_pi_fused(0, n_samples)
+    est = float(est)
+
+    def run():
+        e, _ = estimate_pi_fused(0, n_samples)
+        return float(e)
+
+    dt = _time_best(run)
+    return {"samples_per_s": total / dt, "pi_estimate": est, "wall_s": dt}
+
+
+def bench_fused(n_objs: int, n_chains: int) -> dict:
+    """Fused Pallas MH kernel throughput (scan-length differencing)."""
+    from mh_tpu.config import SamplerConfig  # noqa: PLC0415
+    from mh_tpu.kernels.fused_mh import run_chains_fused  # noqa: PLC0415
+    from mh_tpu.models.scene import demo_scene  # noqa: PLC0415
+
+    spec = demo_scene(n_objs)
+    scene = spec.build()
+    cfg = SamplerConfig()
+    pose0 = spec.initial_pose()
+
+    def run(iters):
+        pose, bd, acc = run_chains_fused(0, pose0, scene, cfg, n_chains, iters)
+        np.asarray(pose)
+
+    run(10)
+    run(510)
+    t_short = _time_best(lambda: run(10), repeats=2)
+    t_long = _time_best(lambda: run(510), repeats=2)
+    per_step = max((t_long - t_short) / 500, 1e-9)
+    return {"proposals_per_s": n_chains / per_step, "per_step_ms": per_step * 1e3}
+
+
+def bench_collective(n_objs: int, n_chains: int) -> dict:
+    """Config 4: chains + collective psum acceptance adaptation (1 mesh)."""
+    from mh_tpu.config import SamplerConfig  # noqa: PLC0415
+    from mh_tpu.models.scene import demo_scene  # noqa: PLC0415
+    from mh_tpu.parallel.mesh import chain_mesh  # noqa: PLC0415
+    from mh_tpu.parallel.sharded import run_chains_collective  # noqa: PLC0415
+
+    spec = demo_scene(n_objs)
+    scene = spec.build()
+    pose0 = spec.initial_pose()
+    key = jax.random.key(0)
+    mesh = chain_mesh()
+    cfg = SamplerConfig(iterations=0, n_chains=n_chains, adapt_rate=0.1)
+
+    def run(rounds):
+        states, rates, _ = run_chains_collective(
+            key, pose0, scene, cfg, mesh, rounds=rounds, steps_per_round=10
+        )
+        np.asarray(states.pose)
+        return rates
+
+    run(2)
+    rates = run(12)
+    t_short = _time_best(lambda: run(2), repeats=2)
+    t_long = _time_best(lambda: run(12), repeats=2)
+    per_step = max((t_long - t_short) / 100, 1e-9)
+    return {
+        "proposals_per_s": n_chains / per_step,
+        "final_accept_rate": float(np.asarray(rates)[-1]),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="run all BASELINE configs")
@@ -135,9 +204,17 @@ def main() -> None:
 
     if args.all:
         pi = bench_pi()
-        print(f"# config1 pi: {json.dumps(pi)}", file=sys.stderr)
+        print(f"# config1 pi (XLA): {json.dumps(pi)}", file=sys.stderr)
+        if platform in ("tpu", "axon"):
+            fp = bench_pi_fused()
+            print(f"# config1 pi (fused kernel): {json.dumps(fp)}", file=sys.stderr)
         small = bench_layout(10, 1, 2000)
         print(f"# config2 single-chain 10-obj: {json.dumps(small)}", file=sys.stderr)
+        coll = bench_collective(args.objects, 1024)
+        print(f"# config4 collective-adaptation: {json.dumps(coll)}", file=sys.stderr)
+        if platform in ("tpu", "axon"):
+            fused = bench_fused(args.objects, args.chains)
+            print(f"# fused-kernel MH: {json.dumps(fused)}", file=sys.stderr)
 
     head = bench_layout(args.objects, args.chains, args.iters)
     print(f"# config3/4 headline: {json.dumps(head)}", file=sys.stderr)

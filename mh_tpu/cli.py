@@ -1,0 +1,146 @@
+"""Command-line interface: ``python -m mh_tpu <command>``.
+
+The config/flag subsystem the reference lacks (SURVEY.md §5: two POD structs
+and unused CLI helpers): scene specs and sampler configs load from JSON
+files or flags; results write as JSON.
+
+Commands:
+  suggest   run MH layout suggestions on a scene (file or built-in demo)
+  demo      run + pretty-print the reference demo scene
+  pi        Monte-Carlo pi estimate (XLA path; --fused for the Pallas kernel)
+  devices   report the JAX device topology (reference C10)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_sampler_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--chains", type=int, default=4)
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--moves-per-step", type=int, default=1)
+    p.add_argument("--beta", type=float, default=2.0)
+    p.add_argument("--mode", choices=["parity", "fixed"], default="parity")
+    p.add_argument("--adapt", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--config", help="JSON file of SamplerConfig overrides")
+
+
+def _sampler_config(args):
+    from mh_tpu.config import CostMode, SamplerConfig
+    from mh_tpu.utils.serialization import sampler_config_from_dict
+
+    if args.config:
+        with open(args.config) as f:
+            return sampler_config_from_dict(json.load(f))
+    return SamplerConfig(
+        iterations=args.iters,
+        n_chains=args.chains,
+        n_moves_per_step=args.moves_per_step,
+        beta=args.beta,
+        adapt=args.adapt,
+        mode=CostMode(args.mode),
+    )
+
+
+def cmd_suggest(args) -> int:
+    from mh_tpu.api import suggest_layouts
+    from mh_tpu.models.scene import demo_scene
+    from mh_tpu.utils.serialization import load_scene
+
+    spec = load_scene(args.scene) if args.scene else demo_scene(args.objects)
+    res = suggest_layouts(spec, _sampler_config(args), key=args.seed)
+    out = {
+        "points": np.asarray(res.points, np.float64).tolist(),
+        "costs": {
+            name: np.asarray(res.costs[:, i], np.float64).tolist()
+            for i, name in enumerate(type(res).COST_FIELDS)
+        },
+        "accept_rate": np.asarray(res.accept_rate, np.float64).tolist(),
+    }
+    text = json.dumps(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+        print(f"wrote {args.out}")
+    else:
+        print(text)
+    return 0
+
+
+def cmd_demo(args) -> int:
+    from mh_tpu.api import suggest_layouts
+    from mh_tpu.models.scene import demo_scene
+
+    spec = demo_scene(args.objects)
+    res = suggest_layouts(spec, _sampler_config(args), key=args.seed)
+    for c in range(res.points.shape[0]):
+        print(f"Suggestion {c}  (accept rate {res.accept_rate[c]:.2f})")
+        print(
+            "  costs: "
+            + "  ".join(
+                f"{n}={v:.3f}" for n, v in zip(type(res).COST_FIELDS, res.costs[c])
+            )
+        )
+    return 0
+
+
+def cmd_pi(args) -> int:
+    import jax
+
+    if args.fused:
+        from mh_tpu.kernels.pi_kernel import estimate_pi_fused
+
+        est, total = estimate_pi_fused(args.seed, args.samples)
+        print(f"pi ~= {float(est):.6f}  ({total} samples, fused kernel)")
+    else:
+        from mh_tpu.models.pi import estimate_pi
+
+        est = estimate_pi(jax.random.key(args.seed), n_samples=args.samples)
+        print(f"pi ~= {float(est):.6f}  ({args.samples} samples)")
+    return 0
+
+
+def cmd_devices(_args) -> int:
+    from mh_tpu.parallel.mesh import device_report
+
+    print(device_report())
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mh_tpu")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("suggest", help="run MH layout suggestions")
+    p.add_argument("--scene", help="scene JSON (default: built-in demo scene)")
+    p.add_argument("--objects", type=int, default=32)
+    p.add_argument("--out", help="write results JSON here")
+    _add_sampler_flags(p)
+    p.set_defaults(fn=cmd_suggest)
+
+    p = sub.add_parser("demo", help="reference demo scene, pretty-printed")
+    p.add_argument("--objects", type=int, default=32)
+    _add_sampler_flags(p)
+    p.set_defaults(fn=cmd_demo)
+
+    p = sub.add_parser("pi", help="Monte-Carlo pi estimate")
+    p.add_argument("--samples", type=int, default=1 << 22)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fused", action="store_true", help="Pallas TPU kernel")
+    p.set_defaults(fn=cmd_pi)
+
+    p = sub.add_parser("devices", help="device/mesh report")
+    p.set_defaults(fn=cmd_devices)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

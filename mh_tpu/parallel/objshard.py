@@ -1,0 +1,147 @@
+"""Object-axis sharded cost evaluation — model parallelism for huge scenes.
+
+The reference's scaling wall is the O(N^2) symmetry/off-limits terms
+(``Readme.md:6``: "performance issues for larger sets of objects";
+SURVEY.md §5 long-context). For scenes too large for one core's comfort,
+this module shards the *row* axis of the N x N cost matrices over a mesh
+axis: every device holds the full pose (replicated — it is only O(N)) but
+computes an N/D-row slice of each pairwise matrix; scalar partial sums are
+reduced with ``psum``. This is the architectural cousin of blockwise/ring
+attention applied to layout costs: compute is partitioned, the reduction
+rides ICI.
+
+O(N) and O(R)/O(C) terms are evaluated redundantly on every device (they
+are negligible); the result is bitwise-consistent with the unsharded
+:func:`mh_tpu.ops.costs.cost_terms` up to f32 reduction order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mh_tpu.config import CostMode
+from mh_tpu.models.scene import Scene
+from mh_tpu.ops import geometry as geo
+from mh_tpu.ops.costs import CostBreakdown, cost_terms, _obj_aabbs, _NEG_HUGE
+
+Array = jax.Array
+
+OBJS_AXIS = "objs"
+
+
+def _row_slice(a: Array, dev: Array, rows: int) -> Array:
+    return jax.lax.dynamic_slice_in_dim(a, dev * rows, rows)
+
+
+def _symmetry_rows(pose, scene, mode, dev, rows):
+    """Rows [dev*rows, dev*rows+rows) of the symmetry best-match sum."""
+    pi = mode.pi
+    x, y, rot = pose[:, 0], pose[:, 1], pose[:, 4]
+    ux = jnp.cos(scene.focal_rot)
+    uy = jnp.sin(scene.focal_rot)
+    xs = _row_slice(x, dev, rows)
+    ys = _row_slice(y, dev, rows)
+    rs = _row_slice(rot, dev, rows)
+    ms = _row_slice(scene.obj_mask, dev, rows)
+    s = 2.0 * (scene.focal[0] * ux + scene.focal[1] * uy - (xs * ux + ys * uy))
+    rx = xs + s * ux
+    ry = ys + s * uy
+    rrot = 2.0 * scene.focal_rot - rs
+    rrot = jnp.where(rrot < -pi, rrot + 2 * pi, rrot)
+    dp = geo.distance(x[None, :], y[None, :], rx[:, None], ry[:, None])
+    dt = rot[None, :] - rrot[:, None]
+    dt = jnp.where(dt > pi, dt - 2 * pi, dt)
+    val = 5.0 - jnp.sqrt(dp) - 0.4 * jnp.abs(dt)
+    val = jnp.where(scene.obj_mask[None, :] > 0, val, _NEG_HUGE)
+    best = jnp.maximum(jnp.max(val, axis=1), 0.0)
+    return -jnp.sum(best * ms)
+
+
+def _off_limits_rows(pose, scene, mode, dev, rows):
+    mnx, mny, mxx, mxy = _obj_aabbs(pose, scene, mode)
+    rmnx = _row_slice(mnx, dev, rows)
+    rmny = _row_slice(mny, dev, rows)
+    rmxx = _row_slice(mxx, dev, rows)
+    rmxy = _row_slice(mxy, dev, rows)
+    ms = _row_slice(scene.obj_mask, dev, rows)
+    area = geo.intersection_area(
+        rmnx[:, None], rmny[:, None], rmxx[:, None], rmxy[:, None],
+        mnx[None, :], mny[None, :], mxx[None, :], mxy[None, :],
+    )
+    n = pose.shape[0]
+    gid = dev * rows + jnp.arange(rows)
+    upper = (jnp.arange(n)[None, :] > gid[:, None]).astype(area.dtype)
+    return -jnp.sum(area * upper * ms[:, None] * scene.obj_mask[None, :])
+
+
+@partial(jax.jit, static_argnames=("mode", "mesh"))
+def cost_terms_sharded(
+    pose: Array, scene: Scene, mesh: Mesh, mode: CostMode = CostMode.PARITY
+) -> CostBreakdown:
+    """Cost breakdown with the O(N^2) terms sharded over ``mesh``'s objs axis.
+
+    Requires the padded object count to be divisible by the mesh size.
+    """
+    n_dev = mesh.shape[OBJS_AXIS]
+    n = scene.n_pad_objs
+    if n % n_dev:
+        raise ValueError(f"padded object count {n} not divisible by mesh {n_dev}")
+    rows = n // n_dev
+
+    def device_fn(pose_rep: Array, scene_rep: Scene) -> CostBreakdown:
+        # varying copies for the row-sliced quadratic parts; the replicated
+        # originals feed the cheap terms so the output stays invariant
+        pose_v, scene_v = jax.tree.map(
+            lambda a: jax.lax.pcast(a, (OBJS_AXIS,), to="varying"),
+            (pose_rep, scene_rep),
+        )
+        dev = jax.lax.axis_index(OBJS_AXIS)
+        sym = jax.lax.psum(
+            _symmetry_rows(pose_v, scene_v, mode, dev, rows), OBJS_AXIS
+        )
+        if mode is CostMode.FIXED:
+            off = jax.lax.psum(
+                _off_limits_rows(pose_v, scene_v, mode, dev, rows), OBJS_AXIS
+            )
+        else:
+            off = jnp.float32(0.0)  # excluded from the parity total; 0-report
+
+        # cheap (O(N)/O(R)/O(C)) terms, redundant on every device
+        from mh_tpu.ops import costs as C
+
+        pw = C.pair_wise_costs(pose_rep, scene_rep)
+        pwa = C.pair_wise_angle_costs(pose_rep, scene_rep, mode)
+        pair = (
+            scene_rep.w_pairwise * (pw * pwa)
+            if mode is CostMode.PARITY
+            else scene_rep.w_pairwise * (pw + pwa)
+        )
+        vb = scene_rep.w_visual_balance * C.visual_balance_costs(pose_rep, scene_rep)
+        fp = scene_rep.w_focal * C.focal_point_costs(pose_rep, scene_rep, mode)
+        clr = scene_rep.w_clearance * C.clearance_costs(pose_rep, scene_rep, mode)
+        sa = scene_rep.w_surface_area * C.surface_area_costs(pose_rep, scene_rep, mode)
+        sym_w = scene_rep.w_symmetry * sym
+        off_w = scene_rep.w_offlimits * off
+        total = pair + vb + fp + sym_w + clr + sa
+        if mode is CostMode.FIXED:
+            total = total + off_w
+        return CostBreakdown(
+            total=total, pair_wise=pair, visual_balance=vb, focal_point=fp,
+            symmetry=sym_w, clearance=clr, off_limits=off_w, surface_area=sa,
+        )
+
+    sharded = jax.shard_map(
+        device_fn, mesh=mesh, in_specs=(P(), P()), out_specs=P()
+    )
+    return sharded(pose, scene)
+
+
+def obj_mesh(n_devices: int | None = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), (OBJS_AXIS,), devices=devices)
