@@ -1,0 +1,45 @@
+"""Posterior-moment parity: TPU sampler vs the NumPy reference-math chain.
+
+BASELINE correctness gate: "posterior moments of layout parameters ...
+match the reference implementation within Monte-Carlo error". The oracle
+chain (tests/oracle_mh.py) reproduces the reference sampling process in
+float64 NumPy with an independent RNG; agreement of the stationary cost
+distribution is strong evidence both samplers target the same posterior.
+"""
+
+import numpy as np
+import pytest
+
+import oracle_mh
+from mh_tpu.config import SamplerConfig
+from mh_tpu.models.scene import demo_scene
+from mh_tpu.sampler.mh import run_chains
+
+
+@pytest.mark.slow
+def test_posterior_cost_moments_match_oracle():
+    spec = demo_scene(6)
+    scene = spec.build()
+    steps, burn = 1500, 500
+
+    # oracle: 4 independent float64 chains
+    otraces = np.stack(
+        [oracle_mh.run_chain(spec, steps, seed=100 + s) for s in range(4)]
+    )
+    o_samples = otraces[:, burn:].reshape(-1)
+
+    # ours: 16 vmapped chains
+    cfg = SamplerConfig(iterations=steps, n_chains=16)
+    import jax
+
+    _, traces = run_chains(
+        jax.random.key(0), spec.initial_pose(), scene, cfg, trace_costs=True
+    )
+    m_samples = np.asarray(traces)[:, burn:].reshape(-1)
+
+    o_mean, o_std = o_samples.mean(), o_samples.std()
+    m_mean, m_std = m_samples.mean(), m_samples.std()
+
+    # autocorrelated chains: compare with generous MC-error bands
+    assert abs(m_mean - o_mean) < 0.25 * o_std, (m_mean, o_mean, o_std)
+    assert 0.5 < m_std / o_std < 2.0, (m_std, o_std)
