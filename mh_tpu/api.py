@@ -54,12 +54,17 @@ def suggest_layouts(
     cfg: SamplerConfig,
     key: Array | int = 0,
     pose0: Array | None = None,
+    engine: str = "xla",
 ) -> LayoutResult:
     """Run ``cfg.n_chains`` MH chains and return their final layouts.
 
     Accepts either a built :class:`Scene` (with ``pose0``) or a
     :class:`SceneSpec` (initial poses taken from the spec, like the
     reference's input ``cfg`` array).
+
+    ``engine``: ``"xla"`` (default — the fused-by-XLA scan) or ``"fused"``
+    (the Pallas VMEM-resident kernel; TPU only, statistically equivalent
+    random stream).
     """
     if isinstance(scene, SceneSpec):
         spec = scene
@@ -68,6 +73,24 @@ def suggest_layouts(
             pose0 = spec.initial_pose()
     if pose0 is None:
         raise ValueError("pose0 is required when passing a built Scene")
+
+    if engine == "fused":
+        from mh_tpu.kernels.fused_mh import run_chains_fused
+
+        seed = key if isinstance(key, int) else 0
+        pose, breakdown, n_acc = run_chains_fused(
+            seed, pose0, scene, cfg, cfg.n_chains, cfg.iterations
+        )
+        n_real = int(np.sum(np.asarray(scene.obj_mask) > 0))
+        return LayoutResult(
+            points=np.asarray(pose)[:, :n_real, :],
+            costs=np.asarray(breakdown),
+            accept_rate=np.asarray(n_acc, np.float64) / max(cfg.iterations, 1),
+            step_scale=np.ones(cfg.n_chains),
+        )
+    if engine != "xla":
+        raise ValueError(f"unknown engine {engine!r} (use 'xla' or 'fused')")
+
     if isinstance(key, int):
         key = jax.random.key(key)
 
