@@ -27,7 +27,6 @@ import time
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 # Persistent compilation cache: the two scan programs take ~1-2 min to
 # compile over the axon tunnel; cache them across bench invocations.

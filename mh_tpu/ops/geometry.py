@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from mh_tpu.config import BIG, CostMode
+from mh_tpu.config import BIG
 
 Array = jax.Array
 

@@ -17,7 +17,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from mh_tpu.config import CostMode, SamplerConfig
+from mh_tpu.config import CostMode
 from mh_tpu.models.scene import Scene
 from mh_tpu.ops.costs import total_cost
 

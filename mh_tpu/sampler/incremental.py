@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from mh_tpu.config import CostMode, SamplerConfig
 from mh_tpu.models.scene import Scene
 from mh_tpu.ops import costs as C
-from mh_tpu.sampler.mh import boltzmann_accept, finalize_costs, MHState
+from mh_tpu.sampler.mh import boltzmann_accept
 from mh_tpu.sampler.proposal import (
     _NEG_HUGE,
     _unfrozen_logits,

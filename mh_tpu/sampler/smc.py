@@ -24,7 +24,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from mh_tpu.config import SamplerConfig
 from mh_tpu.models.scene import Scene
-from mh_tpu.ops.costs import cost_terms
 from mh_tpu.parallel.mesh import CHAINS_AXIS, to_varying
 from mh_tpu.sampler.mh import finalize_costs, mh_init, mh_step
 

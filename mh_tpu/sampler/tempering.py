@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from mh_tpu.config import SamplerConfig
 from mh_tpu.models.scene import Scene
 from mh_tpu.parallel.mesh import CHAINS_AXIS, to_varying
-from mh_tpu.sampler.mh import MHState, finalize_costs, mh_init, mh_step
+from mh_tpu.sampler.mh import finalize_costs, mh_init, mh_step
 
 Array = jax.Array
 

@@ -42,3 +42,14 @@ def test_suggest_layouts_demo_scene():
     # poses start far off the 10x10 surface (objects at (2i, 2i)); only
     # translated objects get clamped (Kernel.cu:613-630), the rest are merely
     # penalized by the surface-area term.
+
+
+def test_unknown_engine_rejected():
+    import pytest
+    from mh_tpu.config import SamplerConfig
+
+    with pytest.raises(ValueError, match="unknown engine"):
+        suggest_layouts(
+            demo_scene(4), SamplerConfig(iterations=1, n_chains=8),
+            engine="cuda",
+        )
