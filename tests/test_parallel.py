@@ -109,3 +109,42 @@ def test_smc_runs_and_resamples():
     assert np.all(ess >= 1.0) and np.all(ess <= 32.0 + 1e-3)
     assert np.isfinite(float(diag["log_evidence"]))
     assert np.isfinite(np.asarray(diag["log_weights"])).all()
+
+
+def test_tempering_device_count_invariant():
+    """ppermute boundary exchange must equal the 1-device local path bitwise."""
+    spec = demo_scene(6)
+    scene = spec.build()
+    cfg = SamplerConfig(iterations=0)
+    s1, r1 = run_tempered(
+        jax.random.key(0), spec.initial_pose(), scene, cfg, chain_mesh(1),
+        n_replicas=16, exchange_every=3, rounds=12,
+    )
+    s8, r8 = run_tempered(
+        jax.random.key(0), spec.initial_pose(), scene, cfg, chain_mesh(8),
+        n_replicas=16, exchange_every=3, rounds=12,
+    )
+    np.testing.assert_array_equal(np.asarray(s1.pose), np.asarray(s8.pose))
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r8))
+
+
+def test_smc_device_count_invariant():
+    """all_gather resampling must equal the 1-device path bitwise."""
+    spec = demo_scene(6)
+    scene = spec.build()
+    cfg = SamplerConfig(iterations=0)
+    s1, d1 = run_smc(
+        jax.random.key(2), spec.initial_pose(), scene, cfg, chain_mesh(1),
+        n_particles=16, n_stages=5, mutate_steps=2,
+    )
+    s8, d8 = run_smc(
+        jax.random.key(2), spec.initial_pose(), scene, cfg, chain_mesh(8),
+        n_particles=16, n_stages=5, mutate_steps=2,
+    )
+    np.testing.assert_array_equal(np.asarray(s1.pose), np.asarray(s8.pose))
+    np.testing.assert_allclose(
+        np.asarray(d1["ess"]), np.asarray(d8["ess"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(d1["log_evidence"]), float(d8["log_evidence"]), rtol=1e-6
+    )
