@@ -124,36 +124,47 @@ def mh_step(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "trace_costs"))
+@partial(jax.jit, static_argnames=("cfg", "trace_costs", "trace_poses"))
 def run_chain(
     key: Array,
     pose0: Array,
     scene: Scene,
     cfg: SamplerConfig,
     trace_costs: bool = False,
+    trace_poses: bool = False,
 ):
     """Run one chain for ``cfg.iterations`` steps (``Kernel.cu:785``).
 
-    Returns the final :class:`MHState` and, when ``trace_costs``, the
-    f32[iterations] trace of accepted total costs.
+    Returns the final :class:`MHState` and a trace: ``trace_costs`` yields
+    the f32[iterations] accepted-total trace; ``trace_poses`` additionally
+    yields f32[iterations, N, 6] pose samples (for posterior moments of the
+    layout parameters — mind the memory at large iteration counts).
     """
     state = mh_init(pose0, scene, key, cfg.mode)
 
     def body(s, _):
         s = mh_step(s, scene, cfg)
-        return s, (s.costs.total if trace_costs else None)
+        out = None
+        if trace_costs and trace_poses:
+            out = (s.costs.total, s.pose)
+        elif trace_costs:
+            out = s.costs.total
+        elif trace_poses:
+            out = s.pose
+        return s, out
 
     state, trace = jax.lax.scan(body, state, None, length=cfg.iterations)
     return finalize_costs(state, scene, cfg), trace
 
 
-@partial(jax.jit, static_argnames=("cfg", "trace_costs"))
+@partial(jax.jit, static_argnames=("cfg", "trace_costs", "trace_poses"))
 def run_chains(
     key: Array,
     pose0: Array,
     scene: Scene,
     cfg: SamplerConfig,
     trace_costs: bool = False,
+    trace_poses: bool = False,
 ):
     """Run ``cfg.n_chains`` independent chains via ``vmap``.
 
@@ -167,5 +178,5 @@ def run_chains(
     if pose0.ndim == 2:
         pose0 = jnp.broadcast_to(pose0, (cfg.n_chains, *pose0.shape))
     return jax.vmap(
-        lambda k, p: run_chain(k, p, scene, cfg, trace_costs)
+        lambda k, p: run_chain(k, p, scene, cfg, trace_costs, trace_poses)
     )(keys, pose0)

@@ -56,16 +56,23 @@ def run_chain(
     n_steps: int,
     seed: int,
     beta: float = 2.0,
-) -> np.ndarray:
-    """Returns the f64[n_steps] trace of accepted total costs (parity mode)."""
+    collect_poses: bool = False,
+):
+    """f64[n_steps] trace of accepted total costs (parity mode).
+
+    With ``collect_poses``, also returns the f64[n_steps, N, 6] pose trace.
+    """
     rng = np.random.default_rng(seed)
     pose = np.asarray(spec.positions, np.float64).copy()
     cur = oracle.breakdown(spec, pose, parity=True)["total"]
     trace = np.empty(n_steps)
+    poses = np.empty((n_steps, *pose.shape)) if collect_poses else None
     for t in range(n_steps):
         star = propose(rng, pose, spec)
         s = oracle.breakdown(spec, star, parity=True)["total"]
         if rng.random() < min(1.0, math.exp(min(beta * (s - cur), 0.0))):
             pose, cur = star, s
         trace[t] = cur
-    return trace
+        if collect_poses:
+            poses[t] = pose
+    return (trace, poses) if collect_poses else trace

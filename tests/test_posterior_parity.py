@@ -43,3 +43,32 @@ def test_posterior_cost_moments_match_oracle():
     # autocorrelated chains: compare with generous MC-error bands
     assert abs(m_mean - o_mean) < 0.25 * o_std, (m_mean, o_mean, o_std)
     assert 0.5 < m_std / o_std < 2.0, (m_std, o_std)
+
+
+@pytest.mark.slow
+def test_posterior_pose_moments_match_oracle():
+    """Layout-parameter posterior means (mean x, y over objects) agree."""
+    import jax
+
+    spec = demo_scene(6)
+    scene = spec.build()
+    steps, burn = 1500, 500
+
+    otr, oposes = oracle_mh.run_chain(spec, steps, seed=7, collect_poses=True)
+    o_xy = oposes[burn:, :, :2]  # [T, N, 2]
+
+    cfg = SamplerConfig(iterations=steps, n_chains=8)
+    _, trace = run_chains(
+        jax.random.key(3), spec.initial_pose(), scene, cfg,
+        trace_costs=False, trace_poses=True,
+    )
+    m_xy = np.asarray(trace)[:, burn:, :, :2].reshape(-1, 6, 2)
+
+    # posterior mean position of each object, within loose MC bands (the
+    # scene is symmetric under object swaps so object identity mixes; use
+    # the scene-level mean and spread instead of per-object comparison)
+    o_mean = o_xy.mean(axis=(0, 1))
+    m_mean = m_xy.mean(axis=(0, 1))
+    o_spread = o_xy.std()
+    np.testing.assert_allclose(m_mean, o_mean, atol=0.35 * o_spread)
+    assert 0.5 < m_xy.std() / o_spread < 2.0
