@@ -234,4 +234,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    # robust TPU bring-up (may re-exec; only when run as a script)
+    from mh_tpu.utils.axon_boot import ensure_robust_tpu
+
+    ensure_robust_tpu()
     main()
