@@ -37,7 +37,10 @@ from mh_tpu.models.scene import Scene
 
 Array = jax.Array
 
-BLOCK_CHAINS = 8  # chains per grid step (sublane tile)
+# Chains per grid step. 8 = one sublane tile; larger blocks amortize
+# per-iteration bookkeeping across more chains at the cost of unrolled
+# per-chain loops (compile time) and VMEM. Env-tunable for experiments.
+BLOCK_CHAINS = int(os.environ.get("MH_FUSED_BLOCK", "8"))
 LANE = 128
 
 _NEG_HUGE = -1e30
