@@ -1,4 +1,4 @@
-"""Advanced sampling demo: collective adaptation, tempering, SMC, HMC, VI.
+"""Advanced sampling demo: collective adaptation, tempering, SMC, HMC, NUTS, VI.
 
 Runs every sampler family in the framework on the reference demo scene over
 a device mesh (all local devices; on CPU, set
@@ -91,6 +91,17 @@ def main() -> None:
     )
     print(f"accept: {np.asarray(final.n_accept) / 100}")
     print(f"final log-density: {np.round(np.asarray(final.logprob), 2)}")
+
+    print("\n== NUTS (adaptive trajectory length) on the same target ==")
+    from mh_tpu.sampler.nuts import nuts_sample
+
+    samples, nfinal = nuts_sample(
+        jax.random.key(3), target, theta_from_pose(pose0), n_samples=50,
+        n_warmup=50, max_depth=6, n_chains=2,
+    )
+    print(f"mean tree depth: {np.asarray(nfinal.sum_depth) / 50}")
+    print(f"divergences: {np.asarray(nfinal.n_divergent)}")
+    print(f"final log-density: {np.round(np.asarray(nfinal.logprob), 2)}")
 
     print("\n== mean-field VI ==")
     mu, sigma, trace = meanfield_vi(
