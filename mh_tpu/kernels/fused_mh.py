@@ -37,10 +37,10 @@ from mh_tpu.models.scene import Scene
 
 Array = jax.Array
 
-# Chains per grid step. 8 = one sublane tile; larger blocks amortize
-# per-iteration bookkeeping across more chains at the cost of unrolled
-# per-chain loops (compile time) and VMEM. Env-tunable for experiments.
-BLOCK_CHAINS = int(os.environ.get("MH_FUSED_BLOCK", "8"))
+# Chains per grid step. All cost terms are chain-vectorized 3-D tiles, so
+# larger blocks amortize per-iteration bookkeeping until VMEM temps bind;
+# B=32 measured fastest on v5e (B=64 compiles but saturates). Env-tunable.
+BLOCK_CHAINS = int(os.environ.get("MH_FUSED_BLOCK", "32"))
 LANE = 128
 
 _NEG_HUGE = -1e30
@@ -128,16 +128,20 @@ def pack_scene(scene: Scene, cfg: SamplerConfig) -> PackedScene:
     scalars[S_NOBJ] = float(np.sum(np.asarray(scene.obj_mask) > 0))
     scalars[S_SCALE] = 1.0
 
-    # Pad entity counts (relationships/angles/clearances) to a full lane
-    # tile: tiny 2-4 lane vectors trip Mosaic reduction-layout bugs and
-    # waste nothing at [*, 128].
+    # Pad entity counts (relationships/angles/clearances) to a sublane tile
+    # (multiple of 8). Entities ride the SUBLANE axis of [B, E, N] /
+    # [B, E, 1] tiles; masked entity sums reduce over sublanes (native),
+    # never over tiny lane dims (Mosaic miscompiles e.g. [1, 2] lane sums).
+    def ent_pad(count: int) -> int:
+        return _round_up(max(count, 1), 8)
+
     def one_hot(idx, m):
-        out = np.zeros((LANE, n), np.float32)
+        out = np.zeros((ent_pad(len(idx)), n), np.float32)
         out[np.arange(len(idx)), np.asarray(idx)] = np.asarray(m, np.float32)
         return out
 
     def params(cols):
-        out = np.zeros((LANE, LANE), np.float32)
+        out = np.zeros((ent_pad(len(cols[0])), LANE), np.float32)
         for j, c in enumerate(cols):
             out[: len(c), j] = np.asarray(c, np.float32)
         return out
@@ -223,6 +227,7 @@ def _fused_kernel(
     mode: CostMode,
     n: int,
     report_offlimits: bool,
+    incremental: bool,
 ):
     B = BLOCK_CHAINS
     pi = mode.pi
@@ -235,7 +240,6 @@ def _fused_kernel(
     area = planes_ref[P_AREA, :]
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
     mask_row = mask.reshape(1, n)
-    col_mask = mask.reshape(1, n)  # [1,N] over j
 
     beta = scal_ref[S_BETA]
     w_pw, w_vb, w_fp = scal_ref[S_WPW], scal_ref[S_WVB], scal_ref[S_WFP]
@@ -286,10 +290,39 @@ def _fused_kernel(
         t = t - ti
         return jnp.where(t < 0, 2 * pi + t, t)
 
-    def costs_of(x, y, rot, with_offlimits):
+    # surface-area parity anchors (Kernel.cu:456 quirk): pose-independent
+    # one-hot gather matrix, hoisted out of the per-iteration cost eval
+    c_cnt_s = clr_p_ref.shape[0]
+    anc_oh = (
+        iota_n.reshape(1, n) == clr_p_ref[:, 7].reshape(c_cnt_s, 1)
+    ).astype(jnp.float32)  # [C, N]
+
+    def reflections(x, y, rot):
+        """Mirror pose across the symmetry axis (Kernel.cu:290-299); [B,N]."""
+        s = 2.0 * (fx * ux + fy * uy - (x * ux + y * uy))
+        rx = x + s * ux
+        ry = y + s * uy
+        rrot = 2.0 * frot - rot
+        rrot = jnp.where(rrot < -pi, rrot + 2 * pi, rrot)
+        return rx, ry, rrot
+
+    def sym_val(cx, cy, cr, rx, ry, rr):
+        """Match score of candidate (c*) vs reflection (r*) — Kernel.cu:301-312.
+
+        One formula shared by the full [B,N,N] evaluation and the
+        incremental slab/row updates so recomputed cells are bitwise equal.
+        """
+        dp = jnp.sqrt(jnp.square(cx - rx) + jnp.square(cy - ry))
+        dt = cr - rr
+        dt = jnp.where(dt > pi, dt - 2 * pi, dt)
+        return 5.0 - jnp.sqrt(dp) - 0.4 * jnp.abs(dt)
+
+    def costs_of(x, y, rot, with_offlimits, with_sym=True):
         """Weighted breakdown for pose planes x/y/rot of shape [B, N].
 
-        Returns (total[B,1], terms dict of [B,1]).
+        Returns (total[B,1], terms dict of [B,1]). All N x N / C x N terms
+        are chain-vectorized 3-D tiles ([B, N, N] / [B, C, N]) — no
+        per-chain unrolled loops (those ran ~8x below VPU peak).
         """
         xm = x * mask_row
         ym = y * mask_row
@@ -323,7 +356,9 @@ def _fused_kernel(
             d < lo, -jnp.square(d / lo_safe),
             jnp.where(d > hi, -jnp.square(hi / d_safe), 0.0),
         )
-        pw = jnp.sum(pen * rm, axis=1, keepdims=True)  # [B,1]
+        # entity axis is sublane-sized (8): reduce it on sublanes via a
+        # [B, R, 1] view — tiny lane-dim reductions miscompile in Mosaic
+        pw = jnp.sum((pen * rm)[:, :, None], axis=1)  # [B,1]
 
         # --- pairwise angle (Kernel.cu:236-263) ----------------------------
         a_s = ang_s_ref[:, :]
@@ -363,7 +398,7 @@ def _fused_kernel(
             jnp.where(cond_wrap, -dev / norm_wrap, 0.0),
             jnp.where(cond_plain, -dev / npl, 0.0),
         )
-        pwa = jnp.sum(apen * am, axis=1, keepdims=True)
+        pwa = jnp.sum((apen * am)[:, :, None], axis=1)  # [B,1]
 
         # --- visual balance (Kernel.cu:191-207) ----------------------------
         area_row = area.reshape(1, n)
@@ -379,53 +414,42 @@ def _fused_kernel(
         ph = _atan2(fy - y, fx - x) - rot + pi / 2.0
         fp = jnp.sum(-jnp.cos(ph) * mask_row, axis=1, keepdims=True)
 
-        # --- per-chain N x N terms: symmetry + off-limits ------------------
-        sym_list = []
-        off_list = []
-        for b in (() if 'sym' in _DEBUG_SKIP else range(B)):
-            xb = x[b].reshape(1, n)
-            yb = y[b].reshape(1, n)
-            rb = rot[b].reshape(1, n)
-            s = 2.0 * (fx * ux + fy * uy - (xb * ux + yb * uy))
-            rx = xb + s * ux
-            ry = yb + s * uy
-            rrot = 2.0 * frot - rb
-            rrot = jnp.where(rrot < -pi, rrot + 2 * pi, rrot)
-            # [i, j]: reflection of i vs candidate j
-            dp = jnp.sqrt(
-                jnp.square(xb - rx.reshape(n, 1)) + jnp.square(yb - ry.reshape(n, 1))
+        # --- N x N terms, chain-vectorized: symmetry + off-limits ----------
+        # [B, N, N] tiles with i (reflection/row) on sublanes, j (candidate)
+        # on lanes; per-i results reduce over lanes to [B, N], the i mask is
+        # applied in [B, N] layout (avoids any [*, N, 1] mask relayout).
+        mask3 = mask.reshape(1, 1, n)  # candidate-j mask
+        if 'sym' in _DEBUG_SKIP or not with_sym:
+            sym = jnp.zeros((B, 1), jnp.float32)
+        else:
+            rx, ry, rrot = reflections(x, y, rot)
+            # [b, i, j]: reflection of i vs candidate j
+            val = sym_val(
+                x[:, None, :], y[:, None, :], rot[:, None, :],
+                rx[:, :, None], ry[:, :, None], rrot[:, :, None],
             )
-            dt = rb - rrot.reshape(n, 1)
-            dt = jnp.where(dt > pi, dt - 2 * pi, dt)
-            val = 5.0 - jnp.sqrt(dp) - 0.4 * jnp.abs(dt)
-            val = jnp.where(col_mask > 0, val, _NEG_HUGE)
-            best = jnp.maximum(jnp.max(val, axis=1, keepdims=True), 0.0)  # [N,1]
-            sym_list.append(-jnp.sum(best * mask.reshape(n, 1)))
-
-            if with_offlimits:
-                omnx, omny, omxx, omxy = obj_aabbs(xb, yb)
-                ar = inter_area(
-                    omnx.reshape(n, 1), omny.reshape(n, 1),
-                    omxx.reshape(n, 1), omxy.reshape(n, 1),
-                    omnx, omny, omxx, omxy,
-                )
-                ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-                jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-                tri = (jj > ii).astype(jnp.float32)
-                off_list.append(
-                    -jnp.sum(ar * tri * mask.reshape(n, 1) * mask_row)
-                )
+            val = jnp.where(mask3 > 0, val, _NEG_HUGE)
+            best = jnp.maximum(jnp.max(val, axis=2), 0.0)  # [B, N]
+            sym = -jnp.sum(best * mask_row, axis=1, keepdims=True)
 
         if 'sym' in _DEBUG_SKIP:
-            sym = jnp.zeros((B, 1), jnp.float32)
-            off_list = []
+            off = jnp.zeros((B, 1), jnp.float32)
         else:
-            sym = jnp.stack(sym_list).reshape(B, 1)
-        off = (
-            jnp.stack(off_list).reshape(B, 1)
-            if (with_offlimits and off_list)
-            else jnp.zeros((B, 1), jnp.float32)
-        )
+            if with_offlimits:
+                omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N]
+                ar = inter_area(
+                    omnx[:, :, None], omny[:, :, None],
+                    omxx[:, :, None], omxy[:, :, None],
+                    omnx[:, None, :], omny[:, None, :],
+                    omxx[:, None, :], omxy[:, None, :],
+                )  # [B, N, N]
+                ii = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
+                tri = (jj > ii).astype(jnp.float32)
+                off_row = jnp.sum(ar * tri * mask3, axis=2)  # [B, N]
+                off = -jnp.sum(off_row * mask_row, axis=1, keepdims=True)
+            else:
+                off = jnp.zeros((B, 1), jnp.float32)
 
         # --- clearance (Kernel.cu:404-434): [B, C] anchors x [B, N] objs ---
         c_cnt = clr_s_ref.shape[0]
@@ -444,45 +468,41 @@ def _fused_kernel(
         cMx = clr_p_ref[:, 4].reshape(1, c_cnt)
         cMy = clr_p_ref[:, 5].reshape(1, c_cnt)
         cm = clr_p_ref[:, 6].reshape(1, c_cnt)
-        clr_list = []
-        sa_rows = []
-        for b in (() if 'clr' in _DEBUG_SKIP else range(B)):
-            xb = x[b].reshape(1, n)
-            yb = y[b].reshape(1, n)
-            cmnx_b = aabb_minx(cv0, ctl, cmn, cax[b].reshape(1, c_cnt))
-            cmny_b = cmy + cay[b].reshape(1, c_cnt)
-            cmxx_b = cMx + cax[b].reshape(1, c_cnt)
-            cmxy_b = cMy + cay[b].reshape(1, c_cnt)
-            omnx, omny, omxx, omxy = obj_aabbs(xb, yb)
-            ar = inter_area(
-                cmnx_b.reshape(c_cnt, 1), cmny_b.reshape(c_cnt, 1),
-                cmxx_b.reshape(c_cnt, 1), cmxy_b.reshape(c_cnt, 1),
-                omnx, omny, omxx, omxy,
-            )  # [C, N]
-            clr_list.append(-jnp.sum(ar * cm.reshape(c_cnt, 1) * mask_row))
-            # surface-area: clearance rects (parity anchor = clearance index)
-            if parity:
-                anc = clr_p_ref[:, 7].reshape(1, c_cnt)  # min(i, n0-1)
-                anc_oh = (iota_n.reshape(1, n) == anc.reshape(c_cnt, 1)).astype(
-                    jnp.float32
-                )  # [C, N]
-                pax = jnp.sum(anc_oh * xb, axis=1, keepdims=True).reshape(1, c_cnt)
-                pay = jnp.sum(anc_oh * yb, axis=1, keepdims=True).reshape(1, c_cnt)
-            else:
-                pax = cax[b].reshape(1, c_cnt)
-                pay = cay[b].reshape(1, c_cnt)
-            smnx_c = aabb_minx(cv0, ctl, cmn, pax)
-            # defer the reduction: tiny [1,C] reductions trip Mosaic layout
-            # bugs — stack rows and reduce once over a [B,C] tile below
-            sa_rows.append(outside_area(smnx_c, cmy + pay, cMx + pax, cMy + pay))
-
         if 'clr' in _DEBUG_SKIP:
             clr_sum = jnp.zeros((B, 1), jnp.float32)
             sa_clr = jnp.zeros((B, 1), jnp.float32)
         else:
-            clr_sum = jnp.stack(clr_list).reshape(B, 1)
-            sa_mat = jnp.concatenate(sa_rows, axis=0)  # [B, C]
-            sa_clr = -jnp.sum(sa_mat * cm, axis=1, keepdims=True)
+            # clearance AABBs as [B, C] planes, then one [B, C, N] area tile
+            cmnx = aabb_minx(cv0, ctl, cmn, cax)  # [B, C]
+            cmny = cmy + cay
+            cmxx = cMx + cax
+            cmxy = cMy + cay
+            omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N]
+            ar = inter_area(
+                cmnx[:, :, None], cmny[:, :, None],
+                cmxx[:, :, None], cmxy[:, :, None],
+                omnx[:, None, :], omny[:, None, :],
+                omxx[:, None, :], omxy[:, None, :],
+            )  # [B, C, N]
+            clr_row = jnp.sum(ar * mask.reshape(1, 1, n), axis=2)  # [B, C]
+            clr_sum = -jnp.sum((clr_row * cm)[:, :, None], axis=1)  # [B,1]
+
+            # surface-area for clearance rects: parity anchors by clearance
+            # index (Kernel.cu:456) via the hoisted one-hot gather matmul
+            if parity:
+                pax = jax.lax.dot_general(
+                    x, anc_oh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [B, C]
+                pay = jax.lax.dot_general(
+                    y, anc_oh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                pax, pay = cax, cay
+            smnx_c = aabb_minx(cv0, ctl, cmn, pax)
+            sa_mat = outside_area(smnx_c, cmy + pay, cMx + pax, cMy + pay)
+            sa_clr = -jnp.sum((sa_mat * cm)[:, :, None], axis=1)  # [B,1]
 
         # --- surface area for object off-limits rects (Kernel.cu:469-480) --
         omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N] planes
@@ -500,12 +520,125 @@ def _fused_kernel(
         off_w = w_ol * off
         clr_w = w_cl * clr_sum
         sa_w = w_sa * sa
-        total = pair_w + vb_w + fp_w + sym_w + clr_w + sa_w
+        # sym is added LAST so the incremental path (which passes
+        # with_sym=False and adds w_sy * sym afterwards) produces a
+        # bitwise-identical total — acceptance decisions then match the
+        # full-recompute path exactly (guarded by a test).
+        total = pair_w + vb_w + fp_w + clr_w + sa_w
         if not parity:
             total = total + off_w
+        total = total + sym_w
         return total, (pair_w, vb_w, fp_w, sym_w, clr_w, off_w, sa_w)
 
-    def scratch_body(x_s, y_s, rot_s, aux_s, cur_s):
+    # ---- incremental symmetry: per-slab maxima carried in VMEM ----------
+    # sm[b, s, i] = max_{j in slab s} val[i, j] (8 candidate columns per
+    # slab). A proposal moves <=2 objects, so per step only slab row s(k)
+    # (candidate k's column group, all i) and lane k (reflection k's row,
+    # all s) change: O(N) work instead of the O(N^2) full matrix. Exact —
+    # recomputed cells reuse sym_val and are bitwise equal to a full eval.
+    S = n // 8
+    iota_s3 = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+    iota_g3 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+    iota_j3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    slab_mask3 = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, S, n), 2) // 8
+        == jax.lax.broadcasted_iota(jnp.int32, (1, S, n), 1)
+    )
+    mask3j = mask.reshape(1, 1, n)
+
+    def slab_row_max(slab_i3, x_st, y_st, rot_st, rx_st, ry_st, rrot_st):
+        """max_{j in slab} val[i, j] for all rows i — [B, N].
+
+        ``slab_i3``: i32 scalar or [B,1,1] slab index. Gathers the slab's 8
+        candidate columns with an iota one-hot and evaluates an 8-sublane
+        [B, 8, N] tile.
+        """
+        candsel = ((iota_g3 + slab_i3 * 8) == iota_j3).astype(jnp.float32)
+        cx = jnp.sum(candsel * x_st[:, None, :], axis=2)  # [B,8]
+        cy = jnp.sum(candsel * y_st[:, None, :], axis=2)
+        cr = jnp.sum(candsel * rot_st[:, None, :], axis=2)
+        cmsk = jnp.sum(candsel * mask3j, axis=2)
+        vs = sym_val(
+            cx[:, :, None], cy[:, :, None], cr[:, :, None],
+            rx_st[:, None, :], ry_st[:, None, :], rrot_st[:, None, :],
+        )  # [B, 8, N]
+        vs = jnp.where(cmsk[:, :, None] > 0, vs, _NEG_HUGE)
+        return jnp.max(vs, axis=1)  # [B, N]
+
+    def slab_maxima_init(x, y, rot):
+        """Populate sm one slab at a time (fori — keeps VMEM O(B*N))."""
+        rx, ry, rrot = reflections(x, y, rot)
+
+        def body(s_i, sm):
+            row = slab_row_max(s_i, x, y, rot, rx, ry, rrot)
+            return jnp.where(iota_s3 == s_i, row[:, None, :], sm)
+
+        return jax.lax.fori_loop(
+            0, S, body, jnp.full((B, S, n), _NEG_HUGE, jnp.float32)
+        )
+
+    def sym_from_sm(sm):
+        best = jnp.maximum(jnp.max(sm, axis=1), 0.0)  # [B, N]
+        return -jnp.sum(best * mask_row, axis=1, keepdims=True)
+
+    def off_limits_chunked(x, y):
+        """Pairwise off-limits overlap via [B, 8, N] row chunks (fori).
+
+        Replaces the [B, N, N] one-shot evaluation in the final report so
+        the kernel's VMEM watermark stays O(B*N) and large chain blocks
+        fit. Same masking/triangular semantics as ``costs_of``.
+        """
+        omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N]
+
+        def chunk(c, acc):
+            rowsel = ((iota_g3 + 8 * c) == iota_j3).astype(jnp.float32)
+
+            def gath(p):
+                return jnp.sum(rowsel * p[:, None, :], axis=2)  # [B,8]
+
+            rmask = jnp.sum(rowsel * mask3j, axis=2)  # [B,8]
+            ar = inter_area(
+                gath(omnx)[:, :, None], gath(omny)[:, :, None],
+                gath(omxx)[:, :, None], gath(omxy)[:, :, None],
+                omnx[:, None, :], omny[:, None, :],
+                omxx[:, None, :], omxy[:, None, :],
+            )  # [B, 8, N]
+            tri = (iota_j3 > (iota_g3 + 8 * c)).astype(jnp.float32)  # j > i
+            contrib = ar * tri * mask3j * rmask[:, :, None]
+            rowsum = jnp.sum(contrib, axis=2)  # [B, 8]
+            return acc - jnp.sum(rowsum[:, :, None], axis=1)  # [B, 1]
+
+        return jax.lax.fori_loop(0, S, chunk, jnp.zeros((B, 1), jnp.float32))
+
+    def sm_update(sm, sel, x_st, y_st, rot_st, rx_st, ry_st, rrot_st, gate_b):
+        """Fold the moved object `sel` (one-hot [B,N]) into sm.
+
+        gate_b f32[B,1]: 1 applies the update, 0 keeps sm (e.g. the second
+        swap object on non-swap moves). All inputs are the *star* pose.
+        """
+        kf = jnp.sum(sel * iota_n, axis=1, keepdims=True)  # [B,1] f32 index
+        slab_i = kf.astype(jnp.int32)[:, :, None] // 8  # [B,1,1]
+        g_on = gate_b[:, :, None] > 0
+
+        # candidate column k changed -> recompute slab row s(k) for all i
+        new_srow = slab_row_max(
+            slab_i, x_st, y_st, rot_st, rx_st, ry_st, rrot_st
+        )
+        s_oh = (iota_s3 == slab_i) & g_on  # [B,S,1]
+        sm = jnp.where(s_oh, new_srow[:, None, :], sm)
+
+        # reflection row k changed -> recompute lane k for all slabs
+        rxk = jnp.sum(sel * rx_st, axis=1, keepdims=True)  # [B,1]
+        ryk = jnp.sum(sel * ry_st, axis=1, keepdims=True)
+        rrk = jnp.sum(sel * rrot_st, axis=1, keepdims=True)
+        vrow = sym_val(x_st, y_st, rot_st, rxk, ryk, rrk)  # [B, N]
+        vrow = jnp.where(mask_row > 0, vrow, _NEG_HUGE)
+        v3 = jnp.where(slab_mask3, vrow[:, None, :], _NEG_HUGE)  # [B,S,N]
+        newcol = jnp.max(v3, axis=2)  # [B, S]
+        l_oh = (sel[:, None, :] > 0) & g_on  # [B,1,N]
+        return jnp.where(l_oh, newcol[:, :, None], sm)
+
+    def scratch_body(x_s, y_s, rot_s, aux_s, cur_s, sm_s):
         # aux planes: z, rotX, rotZ — only touched by swaps
         x_s[:, :] = pose_ref[0, :, :]
         y_s[:, :] = pose_ref[1, :, :]
@@ -514,7 +647,14 @@ def _fused_kernel(
         rot_s[:, :] = pose_ref[4, :, :]
         aux_s[2, :, :] = pose_ref[5, :, :]
 
-        total0, _ = costs_of(x_s[:, :], y_s[:, :], rot_s[:, :], not parity)
+        if incremental:
+            sm_s[:, :, :] = slab_maxima_init(x_s[:, :], y_s[:, :], rot_s[:, :])
+            t_other, _ = costs_of(
+                x_s[:, :], y_s[:, :], rot_s[:, :], not parity, with_sym=False
+            )
+            total0 = t_other + w_sy * sym_from_sm(sm_s[:, :, :])
+        else:
+            total0, _ = costs_of(x_s[:, :], y_s[:, :], rot_s[:, :], not parity)
         cur_s[:, 0:1] = total0
         cur_s[:, 1:2] = jnp.zeros((B, 1), jnp.float32)  # accept count
 
@@ -581,29 +721,69 @@ def _fused_kernel(
             y_star = y + gate * (y_star - y)
             rot_star = rot + gate * (rot_star - rot)
 
-            total_star, _ = costs_of(x_star, y_star, rot_star, not parity)
+            if incremental:
+                rx_st, ry_st, rrot_st = reflections(x_star, y_star, rot_star)
+                gate1 = jnp.full((B, 1), 1.0, jnp.float32) * gate
+                sm_star = sm_update(
+                    sm_s[:, :, :], sel1,
+                    x_star, y_star, rot_star, rx_st, ry_st, rrot_st, gate1,
+                )
+                sm_star = sm_update(
+                    sm_star, sel2,
+                    x_star, y_star, rot_star, rx_st, ry_st, rrot_st, sw,
+                )
+                t_other, _ = costs_of(
+                    x_star, y_star, rot_star, not parity, with_sym=False
+                )
+                total_star = t_other + w_sy * sym_from_sm(sm_star)
+            else:
+                total_star, _ = costs_of(x_star, y_star, rot_star, not parity)
             cur = cur_s[:, 0:1]
             ratio = jnp.exp(jnp.minimum(beta * (total_star - cur), 0.0))
-            acc = (u_acc < ratio).astype(jnp.float32) * gate  # [B,1]
+            acc_b = (u_acc < ratio) & (gate > 0)  # [B,1] bool
+            acc = acc_b.astype(jnp.float32)
 
-            x_s[:, :] = x + acc * (x_star - x)
-            y_s[:, :] = y + acc * (y_star - y)
-            rot_s[:, :] = rot + acc * (rot_star - rot)
+            # where-selects keep the stored state bitwise equal to the star
+            # pose on acceptance (an arithmetic blend x+acc*(star-x) can be
+            # off by an ulp, which would desync the carried slab maxima)
+            x_s[:, :] = jnp.where(acc_b, x_star, x)
+            y_s[:, :] = jnp.where(acc_b, y_star, y)
+            rot_s[:, :] = jnp.where(acc_b, rot_star, rot)
+            if incremental:
+                sm_s[:, :, :] = jnp.where(
+                    acc_b[:, :, None], sm_star, sm_s[:, :, :]
+                )
             # swap is the only move touching aux planes
             for k in range(3):
                 plane = aux_s[k, :, :]
                 r1v = jnp.sum(sel1 * plane, axis=1, keepdims=True)
                 r2v = jnp.sum(sel2 * plane, axis=1, keepdims=True)
-                aux_s[k, :, :] = plane + acc * sw * dsel * (r2v - r1v)
-            cur_s[:, 0:1] = cur + acc * (total_star - cur)
+                aux_s[k, :, :] = jnp.where(
+                    acc_b, plane + sw * dsel * (r2v - r1v), plane
+                )
+            cur_s[:, 0:1] = jnp.where(acc_b, total_star, cur)
             cur_s[:, 1:2] = cur_s[:, 1:2] + acc
             return 0
 
         jax.lax.fori_loop(0, iterations, iter_body, 0)
 
-        # final full breakdown (includes OffLimits for reporting)
-        total, terms = costs_of(x_s[:, :], y_s[:, :], rot_s[:, :], report_offlimits)
-        pair_w, vb_w, fp_w, sym_w, clr_w, off_w, sa_w = terms
+        # final breakdown for reporting. Symmetry comes from the carried
+        # slab maxima when incremental (bitwise-equal to a full eval);
+        # OffLimits is always re-evaluated chunked ([B,8,N] fori) so the
+        # kernel's VMEM watermark stays O(B*N) at any block size.
+        xf, yf, rotf = x_s[:, :], y_s[:, :], rot_s[:, :]
+        if incremental:
+            t_nosym, terms = costs_of(xf, yf, rotf, False, with_sym=False)
+            sym_w = w_sy * sym_from_sm(sm_s[:, :, :])
+            total = t_nosym + sym_w
+        else:
+            total, terms = costs_of(xf, yf, rotf, False)
+            sym_w = terms[3]
+        pair_w, vb_w, fp_w, _sym0, clr_w, off_w, sa_w = terms
+        if report_offlimits and 'sym' not in _DEBUG_SKIP:
+            off_w = w_ol * off_limits_chunked(xf, yf)
+            if not parity:
+                total = total + off_w
 
         pose_out_ref[0, :, :] = x_s[:, :]
         pose_out_ref[1, :, :] = y_s[:, :]
@@ -628,6 +808,7 @@ def _fused_kernel(
         rot_s=pltpu.VMEM((B, n), jnp.float32),
         aux_s=pltpu.VMEM((3, B, n), jnp.float32),
         cur_s=pltpu.VMEM((B, LANE), jnp.float32),
+        sm_s=pltpu.VMEM((B, n // 8, n), jnp.float32),
     )
 
 
@@ -639,6 +820,7 @@ def run_chains_fused(
     n_chains: int,
     iterations: int,
     interpret: bool = False,
+    incremental: bool | None = None,
 ):
     """Run ``n_chains`` MH chains fully fused on-chip.
 
@@ -646,12 +828,22 @@ def run_chains_fused(
     n_accept i32[n_chains])`` where N0 is the scene's padded object count.
     Chains are grouped in blocks of ``BLOCK_CHAINS`` per grid step.
 
+    ``incremental`` (default on; env ``MH_FUSED_INCREMENTAL=0`` disables):
+    carry per-slab maxima of the symmetry match matrix in VMEM and update
+    only the <=2 moved objects' row/column groups per step — exact O(N)
+    replacement for the O(N^2) term (Kernel.cu:283-318), viable only
+    on-chip (the XLA-level variant loses 140x to HBM traffic, see
+    docs/PERFORMANCE.md).
+
     Not itself jitted: the scene is packed on host (numpy) once per call;
     the pallas_call below is a single compiled program covering the whole
     run, so per-call overhead is one dispatch.
     """
     if n_chains % BLOCK_CHAINS:
         raise ValueError(f"n_chains must be a multiple of {BLOCK_CHAINS}")
+    if incremental is None:
+        incremental = os.environ.get("MH_FUSED_INCREMENTAL", "1") != "0"
+    incremental = incremental and "sym" not in _DEBUG_SKIP
     packed = pack_scene(scene, cfg)
     n = packed.n
     n0 = scene.n_pad_objs
@@ -671,10 +863,17 @@ def run_chains_fused(
         mode=cfg.mode,
         n=n,
         report_offlimits=True,
+        incremental=incremental,
     )
     pose_out, stats = pl.pallas_call(
         kernel,
         interpret=interpret,
+        # pose planes alias in->out (index counts array args after the two
+        # scalar-prefetch operands): halves the double-buffered pose VMEM
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(os.environ.get("MH_FUSED_VMEM", 17 << 20)),
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # seed + scalars in SMEM
             grid=grid,

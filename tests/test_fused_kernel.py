@@ -40,6 +40,31 @@ def test_fused_matches_xla_costs(mode):
         )
 
 
+@pytest.mark.parametrize("mode", [CostMode.PARITY, CostMode.FIXED])
+def test_incremental_matches_full_recompute_bitwise(mode):
+    """The carried slab-maxima path must not change the chain trajectory.
+
+    Incremental symmetry recomputes exactly the cells a move invalidates,
+    with the same formula and a matching total-summation order, so the
+    acceptance decisions — and therefore every pose — are bitwise equal to
+    the full-recompute kernel's over a long run.
+    """
+    from mh_tpu.kernels.fused_mh import run_chains_fused
+
+    spec = demo_scene(48)
+    scene = spec.build()
+    cfg = SamplerConfig(mode=mode)
+    pose_i, bd_i, acc_i = run_chains_fused(
+        3, spec.initial_pose(), scene, cfg, 8, 300, incremental=True
+    )
+    pose_f, bd_f, acc_f = run_chains_fused(
+        3, spec.initial_pose(), scene, cfg, 8, 300, incremental=False
+    )
+    np.testing.assert_array_equal(np.asarray(acc_i), np.asarray(acc_f))
+    np.testing.assert_array_equal(np.asarray(pose_i), np.asarray(pose_f))
+    np.testing.assert_array_equal(np.asarray(bd_i), np.asarray(bd_f))
+
+
 def test_fused_zero_iterations_is_identity():
     from mh_tpu.kernels.fused_mh import run_chains_fused
 
