@@ -53,7 +53,7 @@ def suggest_layouts(
     cfg: SamplerConfig,
     key: Array | int = 0,
     pose0: Array | None = None,
-    engine: str = "xla",
+    engine: str = "auto",
 ) -> LayoutResult:
     """Run ``cfg.n_chains`` MH chains and return their final layouts.
 
@@ -61,9 +61,15 @@ def suggest_layouts(
     :class:`SceneSpec` (initial poses taken from the spec, like the
     reference's input ``cfg`` array).
 
-    ``engine``: ``"xla"`` (default — the fused-by-XLA scan) or ``"fused"``
-    (the Pallas VMEM-resident kernel; TPU only, statistically equivalent
-    random stream).
+    ``engine``:
+
+    - ``"auto"`` (default): the Pallas fused kernel on TPU for scenes
+      above one object tile (its incremental-symmetry update is O(N) per
+      step vs the scan's O(N^2), measured 1.9x faster at 200 objects and
+      2.9x at 400 on v5e), the XLA scan otherwise.
+    - ``"xla"``: the fused-by-XLA ``lax.scan`` (any backend).
+    - ``"fused"``: the Pallas VMEM-resident kernel (TPU only;
+      statistically equivalent but different random stream).
     """
     if isinstance(scene, SceneSpec):
         spec = scene
@@ -72,6 +78,12 @@ def suggest_layouts(
             pose0 = spec.initial_pose()
     if pose0 is None:
         raise ValueError("pose0 is required when passing a built Scene")
+
+    if engine == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        big_scene = scene.n_pad_objs > 128
+        chains_fit = cfg.n_chains % 8 == 0
+        engine = "fused" if (on_tpu and big_scene and chains_fit) else "xla"
 
     if engine == "fused":
         from mh_tpu.kernels.fused_mh import run_chains_fused

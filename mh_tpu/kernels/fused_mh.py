@@ -6,11 +6,14 @@ iterations — one kernel launch per run, zero HBM round-trips between steps,
 on-chip PRNG (``pltpu.prng_*``), and no per-step XLA dispatch.
 
 Mapping (vs the reference's one-CUDA-block-per-chain, ``Kernel.cu:754``):
-one grid step processes ``BLOCK_CHAINS`` chains vectorized across sublanes;
-objects live in the 128-wide lane dimension; the N x N symmetry/off-limits
-matrices are evaluated per-chain as [N, N] VPU tiles. Scene gathers
-(relationship endpoints, clearance anchors) are precomputed one-hot
-matrices applied as tiny matmuls — no dynamic indexing in the hot loop.
+one grid step processes ``block_chains(n)`` chains; objects live in the
+128-wide lane dimension and every cost term is a chain-vectorized 3-D tile
+([B, N, N] / [B, C, N] / [B, 8, N]). The O(N^2) symmetry term is carried
+incrementally: per-slab maxima of the match matrix persist in VMEM and a
+step updates only the <=2 moved objects' slab row + lane — exact O(N) per
+step (see ``sm_update``). Scene gathers (relationship endpoints, clearance
+anchors) are precomputed one-hot matrices applied as tiny matmuls or
+masked sublane sums — no dynamic indexing in the hot loop.
 
 Semantics match :mod:`mh_tpu.sampler` (same moves, clamp/wrap rules, accept
 rule, PARITY/FIXED objective) with a different — still counter-based,
@@ -37,11 +40,22 @@ from mh_tpu.models.scene import Scene
 
 Array = jax.Array
 
-# Chains per grid step. All cost terms are chain-vectorized 3-D tiles, so
-# larger blocks amortize per-iteration bookkeeping until VMEM temps bind;
-# B=32 measured fastest on v5e (B=64 compiles but saturates). Env-tunable.
-BLOCK_CHAINS = int(os.environ.get("MH_FUSED_BLOCK", "32"))
 LANE = 128
+
+
+def block_chains(n: int) -> int:
+    """Chains per grid step for a scene padded to ``n`` object lanes.
+
+    All cost terms are chain-vectorized 3-D tiles, so larger blocks
+    amortize per-iteration bookkeeping until the O(B*n) VMEM temps bind:
+    B=32 measured fastest at n=128-256 on v5e (B=64 compiles but
+    saturates); larger scenes must shrink B to fit the slab-maxima state.
+    ``MH_FUSED_BLOCK`` overrides.
+    """
+    env = os.environ.get("MH_FUSED_BLOCK", "")
+    if env:
+        return int(env)
+    return max(8, min(32, 8192 // n))
 
 _NEG_HUGE = -1e30
 
@@ -229,7 +243,7 @@ def _fused_kernel(
     report_offlimits: bool,
     incremental: bool,
 ):
-    B = BLOCK_CHAINS
+    B = pose_ref.shape[1]
     pi = mode.pi
     parity = mode is CostMode.PARITY
 
@@ -826,7 +840,7 @@ def run_chains_fused(
 
     Returns ``(pose f32[n_chains, N0, 6], breakdown f32[n_chains, 8],
     n_accept i32[n_chains])`` where N0 is the scene's padded object count.
-    Chains are grouped in blocks of ``BLOCK_CHAINS`` per grid step.
+    Chains are grouped in blocks of ``block_chains(n)`` per grid step.
 
     ``incremental`` (default on; env ``MH_FUSED_INCREMENTAL=0`` disables):
     carry per-slab maxima of the symmetry match matrix in VMEM and update
@@ -839,21 +853,24 @@ def run_chains_fused(
     the pallas_call below is a single compiled program covering the whole
     run, so per-call overhead is one dispatch.
     """
-    if n_chains % BLOCK_CHAINS:
-        raise ValueError(f"n_chains must be a multiple of {BLOCK_CHAINS}")
     if incremental is None:
         incremental = os.environ.get("MH_FUSED_INCREMENTAL", "1") != "0"
     incremental = incremental and "sym" not in _DEBUG_SKIP
     packed = pack_scene(scene, cfg)
     n = packed.n
     n0 = scene.n_pad_objs
+    bc = min(block_chains(n), n_chains)
+    while bc > 8 and n_chains % bc:
+        bc //= 2
+    if n_chains % bc:
+        raise ValueError(f"n_chains must be a multiple of {bc}")
 
     # pose planes [6, C, N]
     pose_planes = jnp.zeros((6, n_chains, n), jnp.float32)
     p0 = pose0 if pose0.ndim == 3 else jnp.broadcast_to(pose0, (n_chains, n0, 6))
     pose_planes = pose_planes.at[:, :, :n0].set(jnp.transpose(p0, (2, 0, 1)))
 
-    grid = (n_chains // BLOCK_CHAINS,)
+    grid = (n_chains // bc,)
     rep = lambda *_: (0, 0)  # replicated 2-D scene inputs
     rep3 = lambda *_: (0, 0, 0)
 
@@ -879,7 +896,7 @@ def run_chains_fused(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (6, BLOCK_CHAINS, n), lambda g, *_: (0, g, 0),
+                    (6, bc, n), lambda g, *_: (0, g, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec((N_PLANES, n), rep, memory_space=pltpu.VMEM),
@@ -894,11 +911,11 @@ def run_chains_fused(
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (6, BLOCK_CHAINS, n), lambda g, *_: (0, g, 0),
+                    (6, bc, n), lambda g, *_: (0, g, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (BLOCK_CHAINS, LANE), lambda g, *_: (g, 0),
+                    (bc, LANE), lambda g, *_: (g, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
