@@ -624,6 +624,75 @@ def _fused_kernel(
 
         return jax.lax.fori_loop(0, S, chunk, jnp.zeros((B, 1), jnp.float32))
 
+    # ---- incremental off-limits (FIXED mode): per-slab pair sums ---------
+    # so[b, s, i] = sum_{j in slab s, j > i} area(o_i, o_j) * mask_j, so
+    # off = -sum_i mask_i sum_s so[s, i]. Same update structure as the
+    # symmetry maxima: a moved object k invalidates slab row s(k) (all i)
+    # and lane k (all s); both are recomputed exactly — no accumulation,
+    # no drift. (Sum cells written by the row- vs column-update paths can
+    # differ by an ulp — reduction order — so FIXED trajectories are not
+    # bitwise-pinned against the full-recompute path the way PARITY's
+    # order-insensitive maxima are.)
+    def off_slab_row(slab_i3, omnx, omny, omxx, omxy):
+        """sum_{j in slab, j>i} area(i, j) for all rows i — [B, N]."""
+        candsel = ((iota_g3 + slab_i3 * 8) == iota_j3).astype(jnp.float32)
+
+        def gath(p):
+            return jnp.sum(candsel * p[:, None, :], axis=2)  # [B,8]
+
+        cmsk = jnp.sum(candsel * mask3j, axis=2)  # [B,8]
+        ar = inter_area(
+            gath(omnx)[:, :, None], gath(omny)[:, :, None],
+            gath(omxx)[:, :, None], gath(omxy)[:, :, None],
+            omnx[:, None, :], omny[:, None, :],
+            omxx[:, None, :], omxy[:, None, :],
+        )  # [B, 8, N] — slab candidate g (as j) vs every i (lanes)
+        tri = ((iota_g3 + slab_i3 * 8) > iota_j3).astype(jnp.float32)  # j > i
+        return jnp.sum(ar * tri * cmsk[:, :, None], axis=1)  # [B, N]
+
+    def off_state_init(x, y):
+        omnx, omny, omxx, omxy = obj_aabbs(x, y)
+
+        def body(s_i, so):
+            row = off_slab_row(s_i, omnx, omny, omxx, omxy)
+            return jnp.where(iota_s3 == s_i, row[:, None, :], so)
+
+        return jax.lax.fori_loop(
+            0, S, body, jnp.zeros((B, S, n), jnp.float32)
+        )
+
+    def off_from_so(so):
+        return -jnp.sum(
+            jnp.sum(so, axis=1) * mask_row, axis=1, keepdims=True
+        )  # [B, 1]
+
+    def so_update(so, sel, x_st, y_st, gate_b):
+        """Fold moved object `sel` into the off-limits pair-sum state."""
+        kf = jnp.sum(sel * iota_n, axis=1, keepdims=True)
+        k_i = kf.astype(jnp.int32)[:, :, None]  # [B,1,1]
+        slab_i = k_i // 8
+        g_on = gate_b[:, :, None] > 0
+
+        omnx, omny, omxx, omxy = obj_aabbs(x_st, y_st)
+        new_srow = off_slab_row(slab_i, omnx, omny, omxx, omxy)  # [B,N]
+        s_oh = (iota_s3 == slab_i) & g_on
+        so = jnp.where(s_oh, new_srow[:, None, :], so)
+
+        # row i = k: sum_{j in s, j > k} area(k, j) for all slabs
+        def pick(p):
+            return jnp.sum(sel * p, axis=1, keepdims=True)  # [B,1]
+
+        ar_k = inter_area(
+            pick(omnx), pick(omny), pick(omxx), pick(omxy),
+            omnx, omny, omxx, omxy,
+        )  # [B, N] — object k vs every j
+        tri_k = (iota_j3[0] > k_i[:, :, 0]).astype(jnp.float32)  # [B,N] j>k
+        vrow = ar_k * tri_k * mask_row
+        v3 = jnp.where(slab_mask3, vrow[:, None, :], 0.0)  # [B,S,N]
+        newcol = jnp.sum(v3, axis=2)  # [B,S]
+        l_oh = (sel[:, None, :] > 0) & g_on
+        return jnp.where(l_oh, newcol[:, :, None], so)
+
     def sm_update(sm, sel, x_st, y_st, rot_st, rx_st, ry_st, rrot_st, gate_b):
         """Fold the moved object `sel` (one-hot [B,N]) into sm.
 
@@ -652,7 +721,7 @@ def _fused_kernel(
         l_oh = (sel[:, None, :] > 0) & g_on  # [B,1,N]
         return jnp.where(l_oh, newcol[:, :, None], sm)
 
-    def scratch_body(x_s, y_s, rot_s, aux_s, cur_s, sm_s):
+    def scratch_body(x_s, y_s, rot_s, aux_s, cur_s, sm_s, so_s):
         # aux planes: z, rotX, rotZ — only touched by swaps
         x_s[:, :] = pose_ref[0, :, :]
         y_s[:, :] = pose_ref[1, :, :]
@@ -661,14 +730,24 @@ def _fused_kernel(
         rot_s[:, :] = pose_ref[4, :, :]
         aux_s[2, :, :] = pose_ref[5, :, :]
 
+        # hot-loop totals never touch a [B,N,N] tile: symmetry rides the
+        # slab maxima (or a full eval in the non-incremental A/B path) and
+        # FIXED-mode off-limits rides the slab pair sums in both paths
         if incremental:
             sm_s[:, :, :] = slab_maxima_init(x_s[:, :], y_s[:, :], rot_s[:, :])
             t_other, _ = costs_of(
-                x_s[:, :], y_s[:, :], rot_s[:, :], not parity, with_sym=False
+                x_s[:, :], y_s[:, :], rot_s[:, :], False, with_sym=False
             )
             total0 = t_other + w_sy * sym_from_sm(sm_s[:, :, :])
         else:
-            total0, _ = costs_of(x_s[:, :], y_s[:, :], rot_s[:, :], not parity)
+            total0, _ = costs_of(x_s[:, :], y_s[:, :], rot_s[:, :], False)
+        if not parity:
+            if incremental:
+                so_s[:, :, :] = off_state_init(x_s[:, :], y_s[:, :])
+                off0 = off_from_so(so_s[:, :, :])
+            else:
+                off0 = off_from_so(off_state_init(x_s[:, :], y_s[:, :]))
+            total0 = total0 + w_ol * off0
         cur_s[:, 0:1] = total0
         cur_s[:, 1:2] = jnp.zeros((B, 1), jnp.float32)  # accept count
 
@@ -735,9 +814,9 @@ def _fused_kernel(
             y_star = y + gate * (y_star - y)
             rot_star = rot + gate * (rot_star - rot)
 
+            gate1 = jnp.full((B, 1), 1.0, jnp.float32) * gate
             if incremental:
                 rx_st, ry_st, rrot_st = reflections(x_star, y_star, rot_star)
-                gate1 = jnp.full((B, 1), 1.0, jnp.float32) * gate
                 sm_star = sm_update(
                     sm_s[:, :, :], sel1,
                     x_star, y_star, rot_star, rx_st, ry_st, rrot_st, gate1,
@@ -747,11 +826,21 @@ def _fused_kernel(
                     x_star, y_star, rot_star, rx_st, ry_st, rrot_st, sw,
                 )
                 t_other, _ = costs_of(
-                    x_star, y_star, rot_star, not parity, with_sym=False
+                    x_star, y_star, rot_star, False, with_sym=False
                 )
                 total_star = t_other + w_sy * sym_from_sm(sm_star)
             else:
-                total_star, _ = costs_of(x_star, y_star, rot_star, not parity)
+                total_star, _ = costs_of(x_star, y_star, rot_star, False)
+            if not parity:
+                if incremental:
+                    so_star = so_update(
+                        so_s[:, :, :], sel1, x_star, y_star, gate1
+                    )
+                    so_star = so_update(so_star, sel2, x_star, y_star, sw)
+                    off_star = off_from_so(so_star)
+                else:
+                    off_star = off_from_so(off_state_init(x_star, y_star))
+                total_star = total_star + w_ol * off_star
             cur = cur_s[:, 0:1]
             ratio = jnp.exp(jnp.minimum(beta * (total_star - cur), 0.0))
             acc_b = (u_acc < ratio) & (gate > 0)  # [B,1] bool
@@ -767,6 +856,10 @@ def _fused_kernel(
                 sm_s[:, :, :] = jnp.where(
                     acc_b[:, :, None], sm_star, sm_s[:, :, :]
                 )
+                if not parity:
+                    so_s[:, :, :] = jnp.where(
+                        acc_b[:, :, None], so_star, so_s[:, :, :]
+                    )
             # swap is the only move touching aux planes
             for k in range(3):
                 plane = aux_s[k, :, :]
@@ -823,6 +916,7 @@ def _fused_kernel(
         aux_s=pltpu.VMEM((3, B, n), jnp.float32),
         cur_s=pltpu.VMEM((B, LANE), jnp.float32),
         sm_s=pltpu.VMEM((B, n // 8, n), jnp.float32),
+        so_s=pltpu.VMEM((B, n // 8, n), jnp.float32),
     )
 
 
