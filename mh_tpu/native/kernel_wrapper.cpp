@@ -16,10 +16,15 @@
 #include <Python.h>
 
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 
 #include "wire.h"
+
+#ifndef MH_TPU_PYROOT
+#define MH_TPU_PYROOT ""
+#endif
 
 namespace {
 
@@ -34,6 +39,21 @@ int64_t ensure_bridge_locked() {
   g_initialized = true;
   if (!Py_IsInitialized()) {
     Py_InitializeEx(0);
+  }
+  // Make the mh_tpu package importable without a site-packages install:
+  // prepend the build-time repo root (or MH_TPU_PYROOT env override) to
+  // sys.path. The reference DLL has no analogous concern (pure CUDA).
+  {
+    const char* env_root = std::getenv("MH_TPU_PYROOT");
+    const char* root = (env_root && *env_root) ? env_root : MH_TPU_PYROOT;
+    if (root && *root) {
+      PyObject* sys_path = PySys_GetObject("path");  // borrowed
+      PyObject* entry = sys_path ? PyUnicode_FromString(root) : nullptr;
+      if (entry) {
+        PyList_Insert(sys_path, 0, entry);
+        Py_DECREF(entry);
+      }
+    }
   }
   g_bridge = PyImport_ImportModule("mh_tpu.native.bridge");
   if (!g_bridge) {
