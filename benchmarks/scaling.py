@@ -42,11 +42,24 @@ def _best(fn, repeats: int = 3) -> float:
     return best
 
 
-def _per_step(run, short: int = 33, long_: int = 200) -> float:
+def _per_step(run, short: int = 100, long_: int = 1000, repeats: int = 4) -> float:
+    """Scan-length differencing, interleaved: min(T_long) − min(T_short).
+
+    Tunnel contention is time-correlated and strictly additive, so the
+    per-length minima converge to uncontended times; interleaving spreads
+    both lengths over the same contention windows (see bench.py)."""
     run(short)
     run(long_)
-    t_s = _best(lambda: run(short))
-    t_l = _best(lambda: run(long_))
+    t_s = math.inf
+    t_l = math.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run(short)
+        t1 = time.perf_counter()
+        run(long_)
+        t2 = time.perf_counter()
+        t_s = min(t_s, t1 - t0)
+        t_l = min(t_l, t2 - t1)
     return max((t_l - t_s) / (long_ - short), 1e-9)
 
 
@@ -96,6 +109,41 @@ def sweep_objects(n_chains: int = 1024) -> None:
         per = _per_step(run)
         print(json.dumps({
             "sweep": "objects", "n_objs": n_objs, "n_chains": n_chains,
+            "per_step_ms": round(per * 1e3, 4),
+            "proposals_per_s": round(n_chains / per, 1),
+        }), flush=True)
+
+
+def sweep_fused(n_chains: int = 1024) -> None:
+    """Objects sweep on the fused Pallas kernel (TPU only) vs the XLA path.
+
+    The fused kernel's per-step symmetry/off-limits work is O(N) (carried
+    slab state in VMEM), so it pulls away from the XLA scan path — whose
+    hot loop re-evaluates the O(N²) symmetry matrix — as scenes grow.
+    """
+    import jax
+
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        print(json.dumps({"sweep": "fused", "skipped": "needs TPU"}))
+        return
+
+    from mh_tpu.config import SamplerConfig
+    from mh_tpu.kernels.fused_mh import run_chains_fused
+    from mh_tpu.models.scene import demo_scene
+
+    for n_objs in (64, 100, 128, 256, 512):
+        spec = demo_scene(n_objs)
+        scene = spec.build()
+        pose0 = spec.initial_pose()
+        cfg = SamplerConfig()
+
+        def run(iters):
+            pose, _, _ = run_chains_fused(0, pose0, scene, cfg, n_chains, iters)
+            np.asarray(pose)
+
+        per = _per_step(run, short=10, long_=1010)
+        print(json.dumps({
+            "sweep": "fused", "n_objs": n_objs, "n_chains": n_chains,
             "per_step_ms": round(per * 1e3, 4),
             "proposals_per_s": round(n_chains / per, 1),
         }), flush=True)
@@ -176,6 +224,8 @@ def main() -> None:
         sweep_chains()
     if which in ("objects", "all"):
         sweep_objects()
+    if which in ("fused", "all"):
+        sweep_fused()
     if which in ("devices", "all"):
         sweep_devices()
 

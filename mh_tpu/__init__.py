@@ -25,7 +25,14 @@ from mh_tpu.models.scene import (
     demo_scene,
 )
 from mh_tpu.ops.costs import CostBreakdown, cost_terms, total_cost
-from mh_tpu.sampler.mh import MHState, mh_init, mh_step, run_chain, run_chains
+from mh_tpu.sampler.mh import (
+    MHState,
+    compile_chains,
+    mh_init,
+    mh_step,
+    run_chain,
+    run_chains,
+)
 from mh_tpu.api import LayoutResult, suggest_layouts
 from mh_tpu.models.pi import estimate_pi
 
@@ -45,6 +52,7 @@ __all__ = [
     "cost_terms",
     "total_cost",
     "MHState",
+    "compile_chains",
     "mh_init",
     "mh_step",
     "run_chain",

@@ -21,7 +21,7 @@ import numpy as np
 
 from mh_tpu.config import SamplerConfig
 from mh_tpu.models.scene import Scene, SceneSpec
-from mh_tpu.sampler.mh import run_chains
+from mh_tpu.sampler.mh import compile_chains, run_chains
 
 Array = jax.Array
 
@@ -68,6 +68,10 @@ def suggest_layouts(
       step vs the scan's O(N^2), measured 1.9x faster at 200 objects and
       2.9x at 400 on v5e), the XLA scan otherwise.
     - ``"xla"``: the fused-by-XLA ``lax.scan`` (any backend).
+    - ``"xla_specialized"``: the XLA scan compiled with the scene embedded
+      as constants — ~20% faster steady-state, one fresh compile per
+      scene (bitwise-identical results to ``"xla"``). Use when serving
+      one scene repeatedly.
     - ``"fused"``: the Pallas VMEM-resident kernel (TPU only;
       statistically equivalent but different random stream).
     """
@@ -99,13 +103,18 @@ def suggest_layouts(
             accept_rate=np.asarray(n_acc, np.float64) / max(cfg.iterations, 1),
             step_scale=np.ones(cfg.n_chains),
         )
-    if engine != "xla":
-        raise ValueError(f"unknown engine {engine!r} (use 'xla' or 'fused')")
+    if engine not in ("xla", "xla_specialized"):
+        raise ValueError(
+            f"unknown engine {engine!r} (use 'xla', 'xla_specialized' or 'fused')"
+        )
 
     if isinstance(key, int):
         key = jax.random.key(key)
 
-    state, _ = run_chains(key, pose0, scene, cfg)
+    if engine == "xla_specialized":
+        state, _ = compile_chains(scene, cfg)(key, pose0)
+    else:
+        state, _ = run_chains(key, pose0, scene, cfg)
     n_real = int(np.sum(np.asarray(scene.obj_mask) > 0))
     return LayoutResult(
         points=np.asarray(state.pose)[:, :n_real, :],

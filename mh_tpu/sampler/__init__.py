@@ -12,7 +12,14 @@
   docstring for the measured tradeoff)
 """
 
-from mh_tpu.sampler.mh import MHState, mh_init, mh_step, run_chain, run_chains
+from mh_tpu.sampler.mh import (
+    MHState,
+    compile_chains,
+    mh_init,
+    mh_step,
+    run_chain,
+    run_chains,
+)
 from mh_tpu.sampler.tempering import geometric_ladder, run_tempered
 from mh_tpu.sampler.smc import run_smc
 from mh_tpu.sampler.hmc import hmc_sample

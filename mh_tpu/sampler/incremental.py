@@ -46,7 +46,8 @@ from mh_tpu.ops import costs as C
 from mh_tpu.sampler.mh import boltzmann_accept
 from mh_tpu.sampler.proposal import (
     _NEG_HUGE,
-    _unfrozen_logits,
+    _rank_pick,
+    _unfrozen_ranks,
     translation_sigmas,
     uniforms_per_move,
 )
@@ -149,14 +150,12 @@ def _propose_with_info(u: Array, pose: Array, scene: Scene, cfg: SamplerConfig):
     nrm1 = r1 * jnp.sin(two_pi * u[3])
     nrm2 = r2 * jnp.cos(two_pi * u[5])
 
-    ug = jnp.clip(u[8 : 8 + 2 * n].reshape(n, 2), eps, 1.0 - eps)
-    g = -jnp.log(-jnp.log(ug))
-    logits = _unfrozen_logits(scene)
-    i1 = jnp.argmax(g[:, 0] + logits)
-    i2 = jnp.argmax(g[:, 1] + logits)
+    ok, rank, n_unf = _unfrozen_ranks(scene)
+    sel1 = _rank_pick(u[6], ok, rank, n_unf)
+    sel2 = _rank_pick(u[7], ok, rank, n_unf)
     idx = jnp.arange(n)
-    sel1 = (idx == i1).astype(jnp.float32)
-    sel2 = (idx == i2).astype(jnp.float32)
+    i1 = jnp.argmax(sel1)
+    i2 = jnp.argmax(sel2)
 
     x, y, rot = pose[:, 0], pose[:, 1], pose[:, 4]
     mnx, mny, mxx, mxy = scene.surface_bounds()
@@ -176,8 +175,7 @@ def _propose_with_info(u: Array, pose: Array, scene: Scene, cfg: SamplerConfig):
     star = star + jnp.where(can_swap, 1.0, 0.0) * (
         (sel1[:, None] - sel2[:, None]) * (row2 - row1)[None, :]
     )
-    has_unfrozen = jnp.max(logits) > _NEG_HUGE / 2
-    star = jnp.where(has_unfrozen, star, pose)
+    star = jnp.where(n_unf > 0, star, pose)
     k2 = jnp.where(is_s, i2, i1)
     return star, i1, k2
 

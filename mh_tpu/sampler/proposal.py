@@ -50,6 +50,28 @@ def pick_unfrozen(key: Array, scene: Scene) -> Array:
     return jnp.argmax(g + _unfrozen_logits(scene))
 
 
+def _unfrozen_ranks(scene: Scene) -> tuple[Array, Array, Array]:
+    """(ok f32[N], rank f32[N], n_unfrozen f32): 1-based rank of each
+    unfrozen object among the unfrozen set. Scene-static — XLA hoists it
+    out of the chain scan."""
+    ok = scene.obj_mask * (1.0 - scene.frozen.astype(jnp.float32))
+    rank = jnp.cumsum(ok)
+    return ok, rank, rank[-1]
+
+
+def _rank_pick(u: Array, ok: Array, rank: Array, n_unf: Array) -> Array:
+    """One-hot uniform pick over the unfrozen set from ONE uniform.
+
+    Distribution-identical to Gumbel-argmax but needs 1 uniform instead of
+    N — at N=128 lanes this removes ~95% of the per-step threefry volume,
+    the dominant non-objective cost of an MH step. ``target`` is the
+    1-based rank of the chosen object; float equality on small integers is
+    exact. All-zero when the scene has no unfrozen object (callers gate).
+    """
+    target = jnp.minimum(jnp.floor(u * n_unf), n_unf - 1.0) + 1.0
+    return ok * (rank == target).astype(jnp.float32)
+
+
 def translation_sigmas(scene: Scene, cfg: SamplerConfig) -> tuple[Array, Array]:
     """Per-axis proposal std = surface extent / 16 (``Kernel.cu:587-591``)."""
     mnx, mny, mxx, mxy = scene.surface_bounds()
@@ -106,21 +128,22 @@ def _apply_move(
 
 def uniforms_per_move(n_pad_objs: int) -> int:
     """Length of the uniform plane one move consumes (see propose_from_uniforms)."""
-    return 2 * n_pad_objs + 8
+    return 8
 
 
 def propose_from_uniforms(
     u: Array, pose: Array, scene: Scene, cfg: SamplerConfig, scale: Array
 ) -> Array:
-    """One move driven by a pre-drawn uniform plane ``u`` (f32[2N+8]).
+    """One move driven by a pre-drawn uniform plane ``u`` (f32[8]).
 
-    Deriving every random quantity (move type, Gumbel picks, Box-Muller
-    normals) from a single threefry sweep keeps the per-step RNG to one
-    fused kernel instead of ~5 separate draws — a large share of step time
-    at small N. Layout: u[0] move type; u[2:6] Box-Muller inputs;
-    u[8:8+2N] Gumbel picks.
+    Deriving every random quantity from a single threefry sweep keeps the
+    per-step RNG to one fused kernel instead of ~5 separate draws. Object
+    picks use the rank trick (one uniform each, see ``_rank_pick``) rather
+    than Gumbel-argmax (N uniforms each) — at 100 objects that removes
+    ~95% of the per-step random-bit volume, previously the dominant
+    non-objective cost. Layout: u[0] move type; u[1] reserved for the
+    caller's accept draw; u[2:6] Box-Muller inputs; u[6:8] object picks.
     """
-    n = scene.n_pad_objs
     eps = 1e-7
     move = jnp.minimum((u[0] * 3.0).astype(jnp.int32), 2)
 
@@ -136,19 +159,12 @@ def propose_from_uniforms(
         ]
     )
 
-    # Gumbel-argmax picks over the unfrozen set
-    ug = jnp.clip(u[8 : 8 + 2 * n].reshape(n, 2), eps, 1.0 - eps)
-    g = -jnp.log(-jnp.log(ug))
-    logits = _unfrozen_logits(scene)
-    i1 = jnp.argmax(g[:, 0] + logits)
-    i2 = jnp.argmax(g[:, 1] + logits)
-    idx = jnp.arange(n)
-    sel1 = (idx == i1).astype(jnp.float32)
-    sel2 = (idx == i2).astype(jnp.float32)
+    ok, rank, n_unf = _unfrozen_ranks(scene)
+    sel1 = _rank_pick(u[6], ok, rank, n_unf)
+    sel2 = _rank_pick(u[7], ok, rank, n_unf)
 
     new_pose = _apply_move(pose, scene, cfg, scale, move, sel1, sel2, nrm)
-    has_unfrozen = jnp.max(logits) > _NEG_HUGE / 2
-    return jnp.where(has_unfrozen, new_pose, pose)
+    return jnp.where(n_unf > 0, new_pose, pose)
 
 
 def propose(
@@ -196,17 +212,16 @@ def swap_move(key: Array, pose: Array, scene: Scene) -> Array:
     )
 
 
-def block_propose(
-    key: Array, pose: Array, scene: Scene, cfg: SamplerConfig, scale: Array
+def block_propose_from_uniforms(
+    u: Array, pose: Array, scene: Scene, cfg: SamplerConfig, scale: Array
 ) -> Array:
-    """K sequential single-object moves — one deterministic compound proposal.
+    """K sequential single-object moves from a pre-drawn ``u`` f32[K, 8].
 
-    Capability-equivalent to the reference's per-thread simultaneous
-    proposals on shared memory (``Kernel.cu:798``), without the races.
+    One deterministic compound proposal — capability-equivalent to the
+    reference's per-thread simultaneous proposals on shared memory
+    (``Kernel.cu:798``), without the races.
     """
-    k = cfg.n_moves_per_step
-    u = jax.random.uniform(key, (k, uniforms_per_move(scene.n_pad_objs)))
-    if k == 1:
+    if u.shape[0] == 1:
         return propose_from_uniforms(u[0], pose, scene, cfg, scale)
 
     def body(p, u_row):
@@ -214,3 +229,13 @@ def block_propose(
 
     out, _ = jax.lax.scan(body, pose, u)
     return out
+
+
+def block_propose(
+    key: Array, pose: Array, scene: Scene, cfg: SamplerConfig, scale: Array
+) -> Array:
+    """``block_propose_from_uniforms`` drawing its own uniform sweep."""
+    u = jax.random.uniform(
+        key, (cfg.n_moves_per_step, uniforms_per_move(scene.n_pad_objs))
+    )
+    return block_propose_from_uniforms(u, pose, scene, cfg, scale)

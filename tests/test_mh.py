@@ -91,3 +91,22 @@ def test_adaptation_moves_scale():
     cfg = SamplerConfig(iterations=300, adapt=True, target_accept=0.44)
     state, _ = run_chain(jax.random.key(8), spec.initial_pose(), scene, cfg)
     assert float(state.log_scale) != 0.0
+
+
+def test_compile_chains_matches_run_chains():
+    """Scene-specialized compile path is bitwise-identical to run_chains."""
+    from mh_tpu.sampler.mh import compile_chains
+
+    spec = demo_scene(12)
+    scene = spec.build()
+    cfg = SamplerConfig(iterations=50, n_chains=4)
+    key = jax.random.key(3)
+    ref, _ = run_chains(key, spec.initial_pose(), scene, cfg)
+    fast, _ = compile_chains(scene, cfg)(key, spec.initial_pose())
+    np.testing.assert_array_equal(np.asarray(ref.pose), np.asarray(fast.pose))
+    np.testing.assert_array_equal(
+        np.asarray(ref.n_accept), np.asarray(fast.n_accept)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.costs.total), np.asarray(fast.costs.total)
+    )
