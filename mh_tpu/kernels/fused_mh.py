@@ -60,15 +60,16 @@ def block_chains(n: int) -> int:
 _NEG_HUGE = -1e30
 
 # scene plane indices (packed [P, N] array)
-P_MASK, P_LOGIT, P_AREA = 0, 1, 2
+P_MASK, P_OK, P_AREA = 0, 1, 2
 P_OV0X, P_OTAILX, P_OMINX, P_OMINY, P_OMAXX, P_OMAXY = 3, 4, 5, 6, 7, 8
-N_PLANES = 9
+P_RANK = 9  # 1-based rank of each unfrozen object among the unfrozen set
+N_PLANES = 10
 
 # scalar indices (packed f32[32] SMEM vector)
 (S_WPW, S_WVB, S_WFP, S_WSY, S_WCL, S_WOL, S_WSA,
  S_CX2, S_CY2, S_FX, S_FY, S_FROT,
  S_MNX, S_MNY, S_MXX, S_MXY,
- S_SIGX, S_SIGY, S_SIGT, S_BETA, S_NOBJ, S_SCALE) = range(22)
+ S_SIGX, S_SIGY, S_SIGT, S_BETA, S_NOBJ, S_SCALE, S_NUNF) = range(23)
 N_SCALARS = 32
 
 
@@ -103,12 +104,13 @@ def pack_scene(scene: Scene, cfg: SamplerConfig) -> PackedScene:
         return np.pad(np.asarray(a, np.float32), (0, n - n0))
 
     mask = padn(scene.obj_mask)
-    ok = np.asarray(scene.obj_mask) * (1.0 - np.asarray(scene.frozen, np.float32))
-    logit = np.full(n, _NEG_HUGE, np.float32)
-    logit[:n0] = np.where(ok > 0, 0.0, _NEG_HUGE)
+    ok = np.asarray(scene.obj_mask, np.float32) * (
+        1.0 - np.asarray(scene.frozen, np.float32)
+    )
     planes = np.zeros((N_PLANES, n), np.float32)
     planes[P_MASK] = mask
-    planes[P_LOGIT] = logit
+    planes[P_OK] = padn(ok)
+    planes[P_RANK] = padn(np.cumsum(ok))
     planes[P_AREA] = padn(np.asarray(scene.sizes)[:, 0] * np.asarray(scene.sizes)[:, 1])
     planes[P_OV0X] = padn(scene.off_rects.v0x)
     planes[P_OTAILX] = padn(scene.off_rects.tail_min_x)
@@ -141,6 +143,7 @@ def pack_scene(scene: Scene, cfg: SamplerConfig) -> PackedScene:
     scalars[S_BETA] = cfg.beta
     scalars[S_NOBJ] = float(np.sum(np.asarray(scene.obj_mask) > 0))
     scalars[S_SCALE] = 1.0
+    scalars[S_NUNF] = float(np.sum(ok))
 
     # Pad entity counts (relationships/angles/clearances) to a sublane tile
     # (multiple of 8). Entities ride the SUBLANE axis of [B, E, N] /
@@ -250,7 +253,8 @@ def _fused_kernel(
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     mask = planes_ref[P_MASK, :]  # f32[N]
-    logit = planes_ref[P_LOGIT, :]
+    okv = planes_ref[P_OK, :]  # 1.0 for movable (unfrozen, real) objects
+    rankv = planes_ref[P_RANK, :]  # 1-based rank among movable objects
     area = planes_ref[P_AREA, :]
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
     mask_row = mask.reshape(1, n)
@@ -266,7 +270,8 @@ def _fused_kernel(
     fx, fy, frot = scal_ref[S_FX], scal_ref[S_FY], scal_ref[S_FROT]
     ux, uy = jnp.cos(frot), jnp.sin(frot)
     n_objs = scal_ref[S_NOBJ]
-    has_unfrozen = jnp.max(logit) > _NEG_HUGE / 2
+    n_unf = scal_ref[S_NUNF]
+    has_unfrozen = n_unf > 0.0
 
     def aabb_minx(v0x, tailx, minx, tx):
         if parity:
@@ -759,12 +764,10 @@ def _fused_kernel(
             y = y_s[:, :]
             rot = rot_s[:, :]
 
-            # --- randomness: one [B, 2N] block + one [B, LANE] block -------
+            # --- randomness: one [B, LANE] block per iteration --------------
             if 'rng' in _DEBUG_SKIP:
-                ug = jnp.full((B, 2 * n), 0.5, jnp.float32)
                 us = jnp.full((B, LANE), 0.5, jnp.float32)
             else:
-                ug = _uniform((B, 2 * n))
                 us = _uniform((B, LANE))
 
             move = jnp.minimum((us[:, 0:1] * 3.0).astype(jnp.int32), 2)  # [B,1]
@@ -776,13 +779,20 @@ def _fused_kernel(
             dy = r1 * jnp.sin(two_pi * us[:, 3:4]) * sigy * scale
             drot = r2 * jnp.cos(two_pi * us[:, 5:6]) * sigt * scale
 
-            g1 = -jnp.log(-jnp.log(ug[:, :n])) + logit.reshape(1, n)
-            g2 = -jnp.log(-jnp.log(ug[:, n:])) + logit.reshape(1, n)
-            sel1 = (g1 >= jnp.max(g1, axis=1, keepdims=True)).astype(jnp.float32)
-            sel2 = (g2 >= jnp.max(g2, axis=1, keepdims=True)).astype(jnp.float32)
-            # ties are measure-zero among unfrozen; normalize defensively
-            sel1 = sel1 / jnp.maximum(jnp.sum(sel1, axis=1, keepdims=True), 1.0)
-            sel2 = sel2 / jnp.maximum(jnp.sum(sel2, axis=1, keepdims=True), 1.0)
+            # Uniform pick among movable objects via rank match: draw a
+            # 1-based rank k in [1, n_unf] and one-hot the object whose
+            # precomputed cumulative rank equals k. Ranks are small integers
+            # stored exactly in f32, so equality compare is exact. Frozen and
+            # padded lanes share a rank with their predecessor; the ok gate
+            # keeps them out. Replaces a [B, 2N] gumbel-max (two log-log
+            # passes + row max-reductions) with two scalar lanes of `us`.
+            n_unf_m1 = jnp.maximum(n_unf - 1.0, 0.0)
+            k1 = jnp.minimum(jnp.floor(us[:, 6:7] * n_unf), n_unf_m1) + 1.0
+            k2 = jnp.minimum(jnp.floor(us[:, 7:8] * n_unf), n_unf_m1) + 1.0
+            ok_row = okv.reshape(1, n)
+            rank_row = rankv.reshape(1, n)
+            sel1 = ((rank_row == k1) & (ok_row > 0)).astype(jnp.float32)
+            sel2 = ((rank_row == k2) & (ok_row > 0)).astype(jnp.float32)
 
             is_t = (move == 0).astype(jnp.float32)
             is_r = (move == 1).astype(jnp.float32)
