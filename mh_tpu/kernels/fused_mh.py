@@ -297,11 +297,15 @@ def _fused_kernel(
         return jnp.where(empty, 0.0, (x6 - x5) * (y6 - y5))
 
     def outside_area(rmnx, rmny, rmxx, rmxy):
-        a1 = inter_area(rmnx, rmny, rmxx, rmxy, -BIG, -BIG, BIG, mny)
-        a2 = inter_area(rmnx, rmny, rmxx, rmxy, -BIG, mny, mnx, mxy)
-        a3 = inter_area(rmnx, rmny, rmxx, rmxy, -BIG, mxy, BIG, BIG)
-        a4 = inter_area(rmnx, rmny, rmxx, rmxy, mxx, mny, BIG, mxy)
-        return a1 + a2 + a3 + a4
+        # The reference decomposes the surface complement into 4 disjoint
+        # rects (Kernel.cu:343-364) and sums the intersections; since the
+        # pieces partition the complement, that sum equals
+        # area(rect) - area(rect & surface) exactly (rect AABBs always have
+        # mnx <= mxx, mny <= mxy, so the rect area needs no clamping).
+        # 4 inter_area calls (~44 vector ops) -> ~14 ops.
+        return (rmxx - rmnx) * (rmxy - rmny) - inter_area(
+            rmnx, rmny, rmxx, rmxy, mnx, mny, mxx, mxy
+        )
 
     def theta_fn(xi, yi, xj, yj, ti):
         t = _atan2(yi - yj, xi - xj)
