@@ -13,10 +13,10 @@ Functional re-design of the reference `propose`:
   scene has < 2 objects (``:657``); the pair may coincide (``:660``).
 
 TPU-first formulation: the whole proposal is **branch-free and
-gather/scatter-free** — object selection is Gumbel-argmax over the masked
-unfrozen set (bounded; replaces the reference's potentially unbounded
-re-draw spin, ``Kernel.cu:600-602``), and the move is applied as one-hot
-arithmetic on the pose columns. This keeps the per-step program a handful
+gather/scatter-free** — object selection is an exact rank-pick over the
+masked unfrozen set (one uniform; replaces the reference's potentially
+unbounded re-draw spin, ``Kernel.cu:600-602``), and the move is applied as
+one-hot arithmetic on the pose columns. This keeps the per-step program a handful
 of fused VPU ops with no per-chain dynamic indexing, which is what makes
 thousands of vmapped chains fast.
 
