@@ -297,14 +297,23 @@ def _fused_kernel(
         return jnp.where(empty, 0.0, (x6 - x5) * (y6 - y5))
 
     def outside_area(rmnx, rmny, rmxx, rmxy):
-        # The reference decomposes the surface complement into 4 disjoint
-        # rects (Kernel.cu:343-364) and sums the intersections; since the
-        # pieces partition the complement, that sum equals
-        # area(rect) - area(rect & surface) exactly (rect AABBs always have
-        # mnx <= mxx, mny <= mxy, so the rect area needs no clamping).
-        # 4 inter_area calls (~44 vector ops) -> ~14 ops.
-        return (rmxx - rmnx) * (rmxy - rmny) - inter_area(
-            rmnx, rmny, rmxx, rmxy, mnx, mny, mxx, mxy
+        # The reference sums the rect's intersections with 4 disjoint
+        # complement pieces of the surface (Kernel.cu:343-364); the pieces
+        # partition the complement, so the sum equals
+        # area(rect) - area(rect & surface) exactly in real arithmetic.
+        # Numerics: the difference form carries absolute error ~ulp(area)
+        # (=~1.2e-7 * rect area) on thin slivers of mostly-inside rects,
+        # vs ~ulp(sliver) for the piecewise form the XLA engine keeps
+        # (geometry.outside_surface_area); max(0, .) bounds the sign.
+        # Measured on v5e at the 100-obj/1024-chain config: this form runs
+        # the whole kernel at 0.09-0.12 ms/step (run-to-run spread) vs
+        # 0.199 (original 4x inter_area) and 0.210 (direct clamped sliver
+        # products) — the shorter dependency chain matters more than the
+        # op count.
+        return jnp.maximum(
+            (rmxx - rmnx) * (rmxy - rmny)
+            - inter_area(rmnx, rmny, rmxx, rmxy, mnx, mny, mxx, mxy),
+            0.0,
         )
 
     def theta_fn(xi, yi, xj, yj, ti):
@@ -786,9 +795,10 @@ def _fused_kernel(
             # Uniform pick among movable objects via rank match: draw a
             # 1-based rank k in [1, n_unf] and one-hot the object whose
             # precomputed cumulative rank equals k. Ranks are small integers
-            # stored exactly in f32, so equality compare is exact. Frozen and
-            # padded lanes share a rank with their predecessor; the ok gate
-            # keeps them out. Replaces a [B, 2N] gumbel-max (two log-log
+            # stored exactly in f32, so equality compare is exact. Frozen
+            # lanes share a rank with their predecessor and padded lanes hold
+            # rank 0 (pack_scene zero-pads the cumsum); k >= 1 plus the ok
+            # gate keeps both out. Replaces a [B, 2N] gumbel-max (two log-log
             # passes + row max-reductions) with two scalar lanes of `us`.
             n_unf_m1 = jnp.maximum(n_unf - 1.0, 0.0)
             k1 = jnp.minimum(jnp.floor(us[:, 6:7] * n_unf), n_unf_m1) + 1.0
