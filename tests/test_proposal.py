@@ -81,3 +81,46 @@ def test_block_propose_moves_multiple_objects():
     out = P.block_propose(jax.random.key(1), pose, scene, cfg, jnp.float32(1.0))
     changed = np.any(np.asarray(out) != np.asarray(pose), axis=1).sum()
     assert changed >= 2  # K=8 moves should touch several objects
+
+
+def test_rank_pick_exact_uniform_and_edges():
+    """_rank_pick: exact one-hot, exactly uniform over unfrozen, edge-safe.
+
+    Covers the rank-plane edge cases: frozen lanes share a cumsum rank with
+    their predecessor, padded lanes hold rank 0 — neither may ever be
+    selected; u -> 1.0 must clamp to the last unfrozen object, u = 0 picks
+    the first.
+    """
+    spec, scene, _ = _scene_and_pose(n=6, frozen_idx=(1, 4))
+    ok, rank, n_unf = P._unfrozen_ranks(scene)
+    n_unf_i = int(n_unf)
+    assert n_unf_i == 4
+
+    # dense u grid: each unfrozen object owns an equal u-interval, so an
+    # interval-midpoint grid hits each exactly grid/n_unf times
+    grid = 400
+    us = (np.arange(grid) + 0.5) / grid
+    sels = np.asarray(
+        jax.vmap(lambda u: P._rank_pick(jnp.float32(u), ok, rank, n_unf))(
+            jnp.asarray(us, jnp.float32)
+        )
+    )
+    # every draw is an exact one-hot
+    np.testing.assert_array_equal(sels.sum(axis=1), np.ones(grid))
+    counts = sels.sum(axis=0)
+    unfrozen = [i for i in range(scene.n_pad_objs) if float(ok[i]) > 0]
+    frozen_or_pad = [i for i in range(scene.n_pad_objs) if float(ok[i]) == 0]
+    assert all(counts[i] == grid // n_unf_i for i in unfrozen)
+    assert all(counts[i] == 0 for i in frozen_or_pad)
+
+    # edges: u = 0 -> first unfrozen; u = 1.0 exactly -> clamped to last
+    lo = np.asarray(P._rank_pick(jnp.float32(0.0), ok, rank, n_unf))
+    hi = np.asarray(P._rank_pick(jnp.float32(1.0), ok, rank, n_unf))
+    assert lo.argmax() == unfrozen[0] and lo.sum() == 1
+    assert hi.argmax() == unfrozen[-1] and hi.sum() == 1
+
+    # all-frozen scene: all-zero selector (callers gate on n_unf > 0)
+    _, scene_f, _ = _scene_and_pose(n=4, frozen_idx=(0, 1, 2, 3))
+    ok_f, rank_f, n_unf_f = P._unfrozen_ranks(scene_f)
+    sel_f = np.asarray(P._rank_pick(jnp.float32(0.5), ok_f, rank_f, n_unf_f))
+    assert sel_f.sum() == 0
