@@ -146,7 +146,7 @@ def bench_pi(n_samples: int = 1 << 24) -> dict:
     return {"samples_per_s": n_samples / dt, "pi_estimate": est, "wall_s": dt}
 
 
-def bench_pi_fused(n_samples: int = 1 << 26) -> dict:
+def bench_pi_fused(n_samples: int = 1 << 30) -> dict:
     from mh_tpu.kernels.pi_kernel import estimate_pi_fused  # noqa: PLC0415
 
     est, total = estimate_pi_fused(0, n_samples)

@@ -40,8 +40,15 @@ def _pi_kernel(seed_ref, out_ref, *, draws: int):
     out_ref[0, :, :] = jnp.where((ii == 0) & (jj == 0), hits, 0.0)
 
 
-def estimate_pi_fused(seed: int, n_samples: int = 1 << 26, grid: int = 8):
-    """Estimate pi fully on-chip. ``n_samples`` rounds up to a tile multiple."""
+def estimate_pi_fused(seed: int, n_samples: int = 1 << 30, grid: int = 8):
+    """Estimate pi fully on-chip. ``n_samples`` rounds up to a tile multiple.
+
+    The per-block int32 hit counter bounds one call at ``grid * 2^31``
+    samples (~2^34 at the default grid); the kernel itself is so far from
+    compute-bound that the axon tunnel's fixed ~0.45 s per-call overhead
+    dominates below ~2^30 samples (measured: the wall clock is flat from
+    2^24 to 2^30), hence the large default.
+    """
     draws = -(-n_samples // (TILE_N * grid))
     total = draws * TILE_N * grid
     kernel = functools.partial(_pi_kernel, draws=draws)
@@ -56,4 +63,6 @@ def estimate_pi_fused(seed: int, n_samples: int = 1 << 26, grid: int = 8):
         ),
         out_shape=jax.ShapeDtypeStruct((grid, 8, 128), jnp.float32),
     )(jnp.asarray([seed], jnp.int32))
-    return 4.0 * jnp.sum(hits) / total, total
+    # divide by a float: a Python-int operand overflows int32 tracing for
+    # total >= 2^31
+    return 4.0 * jnp.sum(hits) / float(total), total
