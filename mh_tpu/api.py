@@ -83,13 +83,25 @@ def suggest_layouts(
     if pose0 is None:
         raise ValueError("pose0 is required when passing a built Scene")
 
+    # the fused kernel runs exactly one move per iteration and no step-size
+    # adaptation (the reference semantics); other configs need the XLA engine
+    fused_supports_cfg = cfg.n_moves_per_step == 1 and not cfg.adapt
     if engine == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
         big_scene = scene.n_pad_objs > 128
         chains_fit = cfg.n_chains % 8 == 0
-        engine = "fused" if (on_tpu and big_scene and chains_fit) else "xla"
+        engine = (
+            "fused"
+            if (on_tpu and big_scene and chains_fit and fused_supports_cfg)
+            else "xla"
+        )
 
     if engine == "fused":
+        if not fused_supports_cfg:
+            raise ValueError(
+                "engine='fused' supports n_moves_per_step=1 and adapt=False "
+                "only; use engine='xla' for block proposals or adaptation"
+            )
         from mh_tpu.kernels.fused_mh import run_chains_fused
 
         seed = key if isinstance(key, int) else 0

@@ -53,3 +53,25 @@ def test_unknown_engine_rejected():
             demo_scene(4), SamplerConfig(iterations=1, n_chains=8),
             engine="cuda",
         )
+
+
+def test_fused_engine_rejects_unsupported_config():
+    """The fused kernel runs 1 move/step, no adaptation: explicit engine
+    selection must fail loudly instead of silently ignoring the config,
+    and auto must route such configs to the XLA engine."""
+    import pytest
+
+    from mh_tpu.api import suggest_layouts
+    from mh_tpu.config import SamplerConfig
+    from mh_tpu.models.scene import demo_scene
+
+    spec = demo_scene(8)
+    for bad in (
+        SamplerConfig(iterations=2, n_chains=8, n_moves_per_step=4),
+        SamplerConfig(iterations=2, n_chains=8, adapt=True),
+    ):
+        with pytest.raises(ValueError, match="fused"):
+            suggest_layouts(spec, bad, key=0, engine="fused")
+        # auto must not pick fused for these configs (runs on any platform)
+        res = suggest_layouts(spec, bad, key=0, engine="auto")
+        assert res.points.shape[0] == 8

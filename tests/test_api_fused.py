@@ -22,3 +22,4 @@ def test_fused_engine_via_api():
     assert np.isfinite(res.costs).all()
     assert np.all(res.accept_rate > 0.1)
 
+
