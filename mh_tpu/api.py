@@ -88,7 +88,10 @@ def suggest_layouts(
     fused_supports_cfg = cfg.n_moves_per_step == 1 and not cfg.adapt
     if engine == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        big_scene = scene.n_pad_objs > 128
+        # crossover measured 2026-08-18 (post closed-form outside-area):
+        # fused 0.067 ms vs XLA 0.184 at 128 objects; a tie within tunnel
+        # variance at 100 — switch just above the demo headline size
+        big_scene = scene.n_pad_objs > 104
         chains_fit = cfg.n_chains % 8 == 0
         engine = (
             "fused"

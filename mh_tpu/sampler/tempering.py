@@ -42,7 +42,9 @@ def geometric_ladder(n: int, beta_min: float, beta_max: float) -> Array:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh", "n_replicas", "exchange_every", "rounds"))
+@partial(jax.jit, static_argnames=(
+    "cfg", "mesh", "n_replicas", "exchange_every", "rounds", "adapt_ladder"
+))
 def run_tempered(
     key: Array,
     pose0: Array,
@@ -53,11 +55,22 @@ def run_tempered(
     betas: Array | None = None,
     exchange_every: int = 5,
     rounds: int = 20,
+    adapt_ladder: bool = False,
+    target_swap: float = 0.234,
 ):
     """Run a sharded parallel-tempering ensemble (BASELINE config 5).
 
-    Returns ``(states [n_replicas,...], swap_rate_trace f32[rounds])``. The
+    Returns ``(states [n_replicas,...], swap_rate_trace f32[rounds])``; with
+    ``adapt_ladder=True``, ``(states, swap_rate_trace, betas f32[K])``. The
     target-temperature sample is the last replica (``betas[-1]``).
+
+    ``adapt_ladder``: stochastic-approximation ladder adaptation in the
+    style of Miasojedow–Moulines–Vihola (arXiv:1205.1076): the top
+    (target) beta stays pinned, and each log-beta gap ``g_k`` drifts by
+    ``gamma_t * (accept_k - target_swap)`` toward the uniform-swap-rate
+    ladder (``target_swap`` = 0.234, their asymptotically optimal rate).
+    Per-pair accept indicators are ``psum``-shared so every device updates
+    the identical replicated ladder — no extra synchronization.
     """
     n_dev = mesh.shape[CHAINS_AXIS]
     if n_replicas % n_dev:
@@ -71,20 +84,24 @@ def run_tempered(
     left_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
     def device_fn(scene_rep: Scene, pose0_rep: Array, betas_rep: Array):
+        # ladder math stays on the replicated input so the adapted betas
+        # output is statically known replicated (rho0 -> rho -> betas_now
+        # only ever mixes with psum'd values and the round counter)
+        log_bmax = jnp.log(betas_rep[-1])
+        rho0 = jnp.log(jnp.diff(jnp.log(betas_rep)))  # [K-1] log gaps
         scene_rep, pose0_rep, betas_rep = to_varying(
             (scene_rep, pose0_rep, betas_rep)
         )
         dev = jax.lax.axis_index(CHAINS_AXIS)
         offset = dev * n_local
         gids = offset + jnp.arange(n_local)
-        local_betas = betas_rep[gids]
         keys = jax.vmap(lambda g: jax.random.fold_in(key, g))(gids)
         p0 = jnp.broadcast_to(pose0_rep, (n_local, *pose0_rep.shape))
         states = to_varying(
             jax.vmap(lambda k, p: mh_init(p, scene_rep, k, cfg.mode))(keys, p0)
         )
 
-        def mh_sweep(states):
+        def mh_sweep(states, local_betas):
             def one(s, b):
                 def body(ss, _):
                     return mh_step(ss, scene_rep, cfg, beta=b), None
@@ -94,7 +111,7 @@ def run_tempered(
 
             return jax.vmap(one)(states, local_betas)
 
-        def exchange(states, rnd):
+        def exchange(states, rnd, betas_now):
             """Alternating even/odd neighbor swaps; boundaries over ICI."""
             phase = rnd % 2
             poses = states.pose  # [L,N,6]
@@ -129,8 +146,8 @@ def run_tempered(
 
             my_s = cvec[:, 0]
             their_s = cvec_ext[partner_ext, 0]
-            my_b = local_betas
-            their_b = betas_rep[jnp.clip(partner_g, 0, n_replicas - 1)]
+            my_b = betas_now[gids]
+            their_b = betas_now[jnp.clip(partner_g, 0, n_replicas - 1)]
 
             pair_id = jnp.minimum(g, partner_g)
             u = jax.vmap(
@@ -157,27 +174,66 @@ def run_tempered(
             )
             states = dataclasses.replace(states, pose=new_poses, costs=costs)
             # count each accepted pair once (lower member)
-            n_swapped = jnp.sum((accept & is_lower).astype(jnp.float32))
-            n_attempts = jnp.sum((valid & is_lower).astype(jnp.float32))
-            return states, n_swapped, n_attempts
+            own_pair = valid & is_lower
+            n_swapped = jnp.sum((accept & own_pair).astype(jnp.float32))
+            n_attempts = jnp.sum(own_pair.astype(jnp.float32))
+            if adapt_ladder:
+                # per-pair indicators, scattered into [K-1] by pair id g
+                pair_oh = (
+                    g[:, None] == jnp.arange(n_replicas - 1)[None, :]
+                ).astype(jnp.float32)
+                acc_vec = jnp.sum(
+                    pair_oh * (accept & own_pair).astype(jnp.float32)[:, None],
+                    axis=0,
+                )
+                att_vec = jnp.sum(
+                    pair_oh * own_pair.astype(jnp.float32)[:, None], axis=0
+                )
+            else:
+                acc_vec = att_vec = jnp.zeros((), jnp.float32)
+            return states, n_swapped, n_attempts, acc_vec, att_vec
 
-        def round_body(states, rnd):
-            states = mh_sweep(states)
-            states, n_sw, n_at = exchange(states, rnd)
+        def betas_from_rho(rho):
+            # suffix-sum the positive gaps down from the pinned target beta
+            gaps = jnp.exp(rho)
+            suffix = jnp.cumsum(gaps[::-1])[::-1]
+            return jnp.exp(
+                jnp.concatenate([log_bmax - suffix, log_bmax[None]])
+            )
+
+        def round_body(carry, rnd):
+            states, rho = carry
+            betas_now = betas_from_rho(rho) if adapt_ladder else betas_rep
+            states = mh_sweep(states, betas_now[gids])
+            states, n_sw, n_at, acc_vec, att_vec = exchange(
+                states, rnd, betas_now
+            )
             g_sw = jax.lax.psum(n_sw, CHAINS_AXIS)
             g_at = jax.lax.psum(n_at, CHAINS_AXIS)
-            return states, g_sw / jnp.maximum(g_at, 1.0)
+            if adapt_ladder:
+                acc_g = jax.lax.psum(acc_vec, CHAINS_AXIS)
+                att_g = jax.lax.psum(att_vec, CHAINS_AXIS)
+                # Robbins-Monro on the log gaps: attempted pairs drift
+                # toward the target swap rate (unattempted terms are 0)
+                gamma = 0.5 / (1.0 + rnd.astype(jnp.float32)) ** 0.6
+                rho = rho + gamma * (acc_g - target_swap * att_g)
+            return (states, rho), g_sw / jnp.maximum(g_at, 1.0)
 
-        states, swap_rates = jax.lax.scan(
-            round_body, states, jnp.arange(rounds)
+        (states, rho), swap_rates = jax.lax.scan(
+            round_body, (states, rho0), jnp.arange(rounds)
         )
         states = jax.vmap(lambda s: finalize_costs(s, scene_rep, cfg))(states)
+        if adapt_ladder:
+            return states, swap_rates, betas_from_rho(rho)
         return states, swap_rates
 
+    out_specs = (
+        (P(CHAINS_AXIS), P(), P()) if adapt_ladder else (P(CHAINS_AXIS), P())
+    )
     sharded = jax.shard_map(
         device_fn,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(CHAINS_AXIS), P()),
+        out_specs=out_specs,
     )
     return sharded(scene, pose0, betas)

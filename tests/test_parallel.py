@@ -148,3 +148,32 @@ def test_smc_device_count_invariant():
     np.testing.assert_allclose(
         float(d1["log_evidence"]), float(d8["log_evidence"]), rtol=1e-6
     )
+
+
+def test_tempering_adaptive_ladder():
+    """adapt_ladder: top beta pinned, ladder stays ascending, gaps move,
+    and the adapted ladder is device-count invariant (psum-replicated
+    updates from globally-indexed pair decisions)."""
+    spec = demo_scene(8)
+    scene = spec.build()
+    cfg = SamplerConfig(iterations=0)
+    args = dict(n_replicas=16, exchange_every=2, rounds=24, adapt_ladder=True)
+    s8, r8, b8 = run_tempered(
+        jax.random.key(5), spec.initial_pose(), scene, cfg, chain_mesh(8),
+        **args,
+    )
+    b8 = np.asarray(b8)
+    b0 = np.asarray(geometric_ladder(16, 0.1, cfg.beta))
+    assert b8.shape == (16,)
+    assert b8[-1] == pytest.approx(cfg.beta)  # target replica pinned
+    assert np.all(np.diff(b8) > 0)  # still a valid ascending ladder
+    assert np.abs(b8 - b0).max() > 1e-4  # adaptation actually moved gaps
+    assert np.isfinite(np.asarray(s8.costs.total)).all()
+
+    s1, r1, b1 = run_tempered(
+        jax.random.key(5), spec.initial_pose(), scene, cfg, chain_mesh(1),
+        **args,
+    )
+    np.testing.assert_array_equal(np.asarray(b1), b8)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r8))
+    np.testing.assert_array_equal(np.asarray(s1.pose), np.asarray(s8.pose))
