@@ -41,7 +41,10 @@ def systematic_resample_indices(key: Array, log_w: Array, n: int) -> Array:
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "mesh", "n_particles", "n_stages", "mutate_steps"),
+    static_argnames=(
+        "cfg", "mesh", "n_particles", "n_stages", "mutate_steps", "adaptive",
+        "init",
+    ),
 )
 def run_smc(
     key: Array,
@@ -53,13 +56,36 @@ def run_smc(
     n_stages: int = 10,
     mutate_steps: int = 5,
     ess_threshold: float = 0.5,
+    adaptive: bool = False,
+    target_ess: float = 0.5,
+    init: str = "pose0",
 ):
     """Annealed SMC from beta=0 to ``cfg.beta``.
 
     Returns ``(states [n_particles,...], diagnostics)`` where diagnostics is
-    a dict of per-stage ``ess`` (f32[n_stages]) and ``resampled``
-    (bool[n_stages]) traces, plus the final ``log_evidence`` estimate.
+    a dict of per-stage ``ess`` (f32[n_stages]), ``resampled``
+    (bool[n_stages]) and ``betas`` (f32[n_stages], the post-stage inverse
+    temperature) traces, plus the final ``log_evidence`` estimate.
+
+    ``adaptive``: choose each annealing increment by bisection so the
+    post-increment ESS lands at ``target_ess * n_particles`` (Del
+    Moral-Doucet-Jasra-style adaptive tempering). ``n_stages`` then acts
+    as a stage *budget*: once the ladder reaches ``cfg.beta`` the
+    remaining stages reweight by zero and keep mutating. The bisection
+    uses only psum'd score moments, so the schedule is identical on every
+    device.
+
+    ``init``: ``"pose0"`` starts every particle at ``pose0`` (the
+    reference's chain-start convention, ``Kernel.cu:770-783``) — note a
+    point mass is a degenerate sample of the beta=0 prior, so the first
+    reweight is a no-op and adaptive tempering will jump straight to the
+    target until mutation diversifies the ensemble. ``"prior"`` draws
+    i.i.d. uniform poses (x,y over the surface, rotY over [0,2pi)) for
+    unfrozen objects — the statistically right initialization for the
+    annealing identity and the log-evidence estimate.
     """
+    if init not in ("pose0", "prior"):
+        raise ValueError(f"init={init!r} (use 'pose0' or 'prior')")
     n_dev = mesh.shape[CHAINS_AXIS]
     if n_particles % n_dev:
         raise ValueError(f"n_particles={n_particles} not divisible by mesh {n_dev}")
@@ -72,29 +98,91 @@ def run_smc(
         gids = dev * n_local + jnp.arange(n_local)
         keys = jax.vmap(lambda g: jax.random.fold_in(key, g))(gids)
         p0 = jnp.broadcast_to(pose0_rep, (n_local, *pose0_rep.shape))
+        if init == "prior":
+            mnx, mny, mxx, mxy = scene_rep.surface_bounds()
+            movable = scene_rep.obj_mask * (
+                1.0 - scene_rep.frozen.astype(jnp.float32)
+            )
+
+            def draw(k, p):
+                kx, ky, kr = jax.random.split(k, 3)
+                n_objs = p.shape[0]
+                x = jax.random.uniform(kx, (n_objs,), minval=mnx, maxval=mxx)
+                y = jax.random.uniform(ky, (n_objs,), minval=mny, maxval=mxy)
+                r = jax.random.uniform(
+                    kr, (n_objs,), minval=0.0, maxval=2.0 * cfg.mode.pi
+                )
+                p = p.at[:, 0].set(p[:, 0] + movable * (x - p[:, 0]))
+                p = p.at[:, 1].set(p[:, 1] + movable * (y - p[:, 1]))
+                p = p.at[:, 4].set(p[:, 4] + movable * (r - p[:, 4]))
+                return p
+
+            prior_keys = jax.vmap(
+                lambda g: jax.random.fold_in(jax.random.fold_in(key, 0x9A1), g)
+            )(gids)
+            p0 = jax.vmap(draw)(prior_keys, p0)
         vary = to_varying
         states = vary(
             jax.vmap(lambda k, p: mh_init(p, scene_rep, k, cfg.mode))(keys, p0)
         )
         log_w = vary(jnp.zeros((n_local,), jnp.float32))
 
-        def stage(carry, t):
-            states, log_w, log_z = carry
-            dbeta = beta_sched[t + 1] - beta_sched[t]
-
-            # 1) reweight by the annealing increment
-            log_w = log_w + dbeta * states.costs.total
-
-            # 2) global normalization + ESS via psum
+        def global_ess(log_w):
             m = jax.lax.pmax(jnp.max(log_w), CHAINS_AXIS)
             shifted = jnp.exp(log_w - m)
             z1 = jax.lax.psum(jnp.sum(shifted), CHAINS_AXIS)
             z2 = jax.lax.psum(jnp.sum(jnp.square(shifted)), CHAINS_AXIS)
-            ess = jnp.square(z1) / jnp.maximum(z2, 1e-30)
-            log_z = log_z + m + jnp.log(z1 / n_particles)
+            return jnp.square(z1) / jnp.maximum(z2, 1e-30), m, z1
+
+        def stage(carry, t):
+            states, log_w, log_z, beta_cur = carry
+            if adaptive:
+                # bisect the largest increment keeping ESS >= target
+                scores = states.costs.total
+                remaining = jnp.maximum(cfg.beta - beta_cur, 0.0)
+                target = target_ess * n_particles
+
+                def ess_of(db):
+                    e, _, _ = global_ess(log_w + db * scores)
+                    return e
+
+                full_ok = ess_of(remaining) >= target
+
+                def bis(_, lo_hi):
+                    lo, hi = lo_hi
+                    mid = 0.5 * (lo + hi)
+                    ok = ess_of(mid) >= target
+                    return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+                lo, _ = jax.lax.fori_loop(
+                    0, 26, bis, (jnp.float32(0.0), remaining)
+                )
+                dbeta = jnp.where(full_ok, remaining, lo)
+                beta_next = beta_cur + dbeta
+            else:
+                dbeta = beta_sched[t + 1] - beta_sched[t]
+                beta_next = beta_sched[t + 1]
+
+            # 1) reweight by the annealing increment
+            log_w = log_w + dbeta * states.costs.total
+
+            # 2) global normalization + ESS via psum; fold this stage's
+            # normalizer into the evidence and RENORMALIZE the weights so
+            # stages without a resample don't re-count it next stage
+            ess, m, z1 = global_ess(log_w)
+            stage_log_norm = m + jnp.log(z1 / n_particles)
+            log_z = log_z + stage_log_norm
+            log_w = log_w - stage_log_norm
 
             # 3) resample when ESS collapses (global decision, same everywhere)
             need = ess < ess_threshold * n_particles
+            if adaptive:
+                # an ESS-limited (partial) increment parks the ensemble
+                # exactly AT the target ESS; without resampling, the next
+                # bisection could only take a ~0 step and the schedule
+                # stalls. Adaptive tempering therefore resamples after
+                # every partial step (the standard resample-move cycle).
+                need = need | ~full_ok
 
             def do_resample(args):
                 states, log_w = args
@@ -126,31 +214,38 @@ def run_smc(
             # 4) mutate: MH steps at the current inverse temperature
             def mutate(s):
                 def body(ss, _):
-                    return mh_step(ss, scene_rep, cfg, beta=beta_sched[t + 1]), None
+                    return mh_step(ss, scene_rep, cfg, beta=beta_next), None
 
                 s, _ = jax.lax.scan(body, s, None, length=mutate_steps)
                 return s
 
             states = jax.vmap(mutate)(states)
-            return (states, log_w, log_z), (ess, need)
+            return (states, log_w, log_z, beta_next), (ess, need, beta_next)
 
-        (states, log_w, log_z), (ess_trace, resampled) = jax.lax.scan(
-            stage, (states, log_w, jnp.float32(0.0)), jnp.arange(n_stages)
+        (states, log_w, log_z, _), (ess_trace, resampled, betas_trace) = (
+            jax.lax.scan(
+                stage,
+                (states, log_w, jnp.float32(0.0), jnp.float32(0.0)),
+                jnp.arange(n_stages),
+            )
         )
         states = jax.vmap(lambda s: finalize_costs(s, scene_rep, cfg))(states)
-        return states, log_w, log_z, ess_trace, resampled
+        return states, log_w, log_z, ess_trace, resampled, betas_trace
 
     sharded = jax.shard_map(
         device_fn,
         mesh=mesh,
         in_specs=(P(), P()),
-        out_specs=(P(CHAINS_AXIS), P(CHAINS_AXIS), P(), P(), P()),
+        out_specs=(P(CHAINS_AXIS), P(CHAINS_AXIS), P(), P(), P(), P()),
     )
-    states, log_w, log_z, ess_trace, resampled = sharded(scene, pose0)
+    states, log_w, log_z, ess_trace, resampled, betas_trace = sharded(
+        scene, pose0
+    )
     diagnostics = {
         "log_weights": log_w,
         "log_evidence": log_z,
         "ess": ess_trace,
         "resampled": resampled,
+        "betas": betas_trace,
     }
     return states, diagnostics
