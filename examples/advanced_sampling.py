@@ -58,6 +58,14 @@ def main() -> None:
     print(f"swap-rate trace: {np.round(np.asarray(swap_rates), 3)}")
     print(f"target-replica total cost: {np.asarray(states.costs.total)[-1]:.2f}")
 
+    print("\n== parallel tempering with swap-rate-adaptive ladder ==")
+    states, swap_rates, betas_adapted = run_tempered(
+        key, pose0, scene, SamplerConfig(iterations=0), mesh,
+        n_replicas=n_chains, exchange_every=5, rounds=10, adapt_ladder=True,
+    )
+    print(f"adapted ladder: {np.round(np.asarray(betas_adapted), 4)}")
+    print(f"swap-rate trace: {np.round(np.asarray(swap_rates), 3)}")
+
     print("\n== annealed SMC (all_gather resampling) ==")
     states, diag = run_smc(
         key, pose0, scene, SamplerConfig(iterations=0), mesh,
@@ -65,6 +73,16 @@ def main() -> None:
     )
     print(f"ESS trace: {np.round(np.asarray(diag['ess']), 1)}")
     print(f"resampled at stages: {np.where(np.asarray(diag['resampled']))[0].tolist()}")
+    print(f"log evidence: {float(diag['log_evidence']):.2f}")
+
+    print("\n== adaptive-tempered SMC from the beta=0 prior ==")
+    states, diag = run_smc(
+        key, pose0, scene, SamplerConfig(iterations=0), mesh,
+        n_particles=n_chains, n_stages=8, mutate_steps=3,
+        adaptive=True, init="prior",
+    )
+    print(f"beta schedule: {np.round(np.asarray(diag['betas']), 4)}")
+    print(f"ESS trace: {np.round(np.asarray(diag['ess']), 1)}")
     print(f"log evidence: {float(diag['log_evidence']):.2f}")
 
     # Gradient-based samplers need a *proper* target: the reference's parity
