@@ -54,6 +54,7 @@ def suggest_layouts(
     key: Array | int = 0,
     pose0: Array | None = None,
     engine: str = "auto",
+    mesh=None,
 ) -> LayoutResult:
     """Run ``cfg.n_chains`` MH chains and return their final layouts.
 
@@ -74,6 +75,13 @@ def suggest_layouts(
       one scene repeatedly.
     - ``"fused"``: the Pallas VMEM-resident kernel (TPU only;
       statistically equivalent but different random stream).
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a chains axis to shard the
+    chains over (XLA engine only). Defaults to the ambient mesh over all
+    visible devices whenever more than one device is present and
+    ``cfg.n_chains`` divides evenly — chains are device-count invariant
+    (keys fold from global chain ids), so results are bitwise identical
+    to the single-device path.
     """
     if isinstance(scene, SceneSpec):
         spec = scene
@@ -95,7 +103,10 @@ def suggest_layouts(
         chains_fit = cfg.n_chains % 8 == 0
         engine = (
             "fused"
-            if (on_tpu and big_scene and chains_fit and fused_supports_cfg)
+            if (
+                on_tpu and big_scene and chains_fit and fused_supports_cfg
+                and mesh is None and jax.device_count() == 1
+            )
             else "xla"
         )
 
@@ -104,6 +115,11 @@ def suggest_layouts(
             raise ValueError(
                 "engine='fused' supports n_moves_per_step=1 and adapt=False "
                 "only; use engine='xla' for block proposals or adaptation"
+            )
+        if mesh is not None:
+            raise ValueError(
+                "engine='fused' is single-device; drop mesh or use "
+                "engine='xla' to shard chains"
             )
         from mh_tpu.kernels.fused_mh import run_chains_fused
 
@@ -126,8 +142,26 @@ def suggest_layouts(
     if isinstance(key, int):
         key = jax.random.key(key)
 
+    if mesh is not None and engine == "xla_specialized":
+        raise ValueError("mesh sharding applies to engine='xla' only")
+    if mesh is not None and np.ndim(pose0) != 2:
+        raise ValueError(
+            "mesh sharding supports one shared pose0 (f32[N,6]); per-chain "
+            "starts need the unsharded engine='xla'"
+        )
+    if engine == "xla" and mesh is None and jax.device_count() > 1 and (
+        cfg.n_chains % jax.device_count() == 0 and np.ndim(pose0) == 2
+    ):
+        from mh_tpu.parallel.mesh import chain_mesh
+
+        mesh = chain_mesh()
+
     if engine == "xla_specialized":
         state, _ = compile_chains(scene, cfg)(key, pose0)
+    elif mesh is not None:
+        from mh_tpu.parallel.sharded import run_chains_sharded
+
+        state = run_chains_sharded(key, pose0, scene, cfg, mesh)
     else:
         state, _ = run_chains(key, pose0, scene, cfg)
     n_real = int(np.sum(np.asarray(scene.obj_mask) > 0))

@@ -75,3 +75,33 @@ def test_fused_engine_rejects_unsupported_config():
         # auto must not pick fused for these configs (runs on any platform)
         res = suggest_layouts(spec, bad, key=0, engine="auto")
         assert res.points.shape[0] == 8
+
+
+def test_suggest_layouts_mesh_sharding_invariant():
+    """suggest_layouts shards chains over a mesh with bitwise-identical
+    results to the single-device path (keys fold from global chain ids),
+    and guards the unsupported combinations."""
+    import pytest
+
+    from mh_tpu.api import suggest_layouts
+    from mh_tpu.config import SamplerConfig
+    from mh_tpu.models.scene import demo_scene
+    from mh_tpu.parallel.mesh import chain_mesh
+
+    spec = demo_scene(8)
+    cfg = SamplerConfig(iterations=20, n_chains=16)
+    r1 = suggest_layouts(spec, cfg, key=3, mesh=chain_mesh(1))
+    r8 = suggest_layouts(spec, cfg, key=3, mesh=chain_mesh(8))
+    np.testing.assert_array_equal(r1.points, r8.points)
+    np.testing.assert_array_equal(r1.costs, r8.costs)
+    np.testing.assert_array_equal(r1.accept_rate, r8.accept_rate)
+
+    with pytest.raises(ValueError, match="mesh"):
+        suggest_layouts(spec, cfg, key=3, engine="xla_specialized",
+                        mesh=chain_mesh(8))
+    per_chain_pose0 = np.repeat(
+        np.asarray(spec.initial_pose())[None], 16, axis=0
+    )
+    with pytest.raises(ValueError, match="pose0"):
+        suggest_layouts(spec, cfg, key=3, pose0=per_chain_pose0,
+                        mesh=chain_mesh(8))
