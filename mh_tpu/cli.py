@@ -9,6 +9,10 @@ Commands:
   demo      run + pretty-print the reference demo scene
   pi        Monte-Carlo pi estimate (XLA path; --fused for the Pallas kernel)
   devices   report the JAX device topology (reference C10)
+  temper    parallel tempering over the mesh (--adapt-ladder for the
+            swap-rate-adaptive ladder)
+  smc       annealed SMC over the mesh (--adaptive --init prior for
+            ESS-targeted tempering from the beta=0 prior)
 """
 
 from __future__ import annotations
@@ -113,6 +117,57 @@ def cmd_devices(_args) -> int:
     return 0
 
 
+def cmd_temper(args) -> int:
+    import jax
+
+    from mh_tpu.models.scene import demo_scene
+    from mh_tpu.parallel.mesh import chain_mesh
+    from mh_tpu.sampler.tempering import run_tempered
+    from mh_tpu.utils.serialization import load_scene
+
+    spec = load_scene(args.scene) if args.scene else demo_scene(args.objects)
+    out = run_tempered(
+        jax.random.key(args.seed), spec.initial_pose(), spec.build(),
+        _sampler_config(args), chain_mesh(), n_replicas=args.replicas,
+        exchange_every=args.exchange_every, rounds=args.rounds,
+        adapt_ladder=args.adapt_ladder,
+    )
+    states, swap_rates = out[0], out[1]
+    result = {
+        "swap_rates": np.asarray(swap_rates, np.float64).tolist(),
+        "target_total_cost": float(np.asarray(states.costs.total)[-1]),
+    }
+    if args.adapt_ladder:
+        result["betas"] = np.asarray(out[2], np.float64).tolist()
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_smc(args) -> int:
+    import jax
+
+    from mh_tpu.models.scene import demo_scene
+    from mh_tpu.parallel.mesh import chain_mesh
+    from mh_tpu.sampler.smc import run_smc
+    from mh_tpu.utils.serialization import load_scene
+
+    spec = load_scene(args.scene) if args.scene else demo_scene(args.objects)
+    states, diag = run_smc(
+        jax.random.key(args.seed), spec.initial_pose(), spec.build(),
+        _sampler_config(args), chain_mesh(), n_particles=args.particles,
+        n_stages=args.stages, mutate_steps=args.mutate_steps,
+        adaptive=args.adaptive, init=args.init,
+    )
+    print(json.dumps({
+        "log_evidence": float(diag["log_evidence"]),
+        "betas": np.asarray(diag["betas"], np.float64).tolist(),
+        "ess": np.asarray(diag["ess"], np.float64).tolist(),
+        "resampled": np.asarray(diag["resampled"]).astype(int).tolist(),
+        "best_total_cost": float(np.asarray(states.costs.total).max()),
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="mh_tpu")
     sub = ap.add_subparsers(dest="command", required=True)
@@ -137,6 +192,29 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("devices", help="device/mesh report")
     p.set_defaults(fn=cmd_devices)
+
+    p = sub.add_parser("temper", help="parallel tempering over the mesh")
+    p.add_argument("--scene", help="scene JSON (default: built-in demo scene)")
+    p.add_argument("--objects", type=int, default=32)
+    p.add_argument("--replicas", type=int, default=16)
+    p.add_argument("--exchange-every", type=int, default=5)
+    p.add_argument("--rounds", type=int, default=20)
+    p.add_argument("--adapt-ladder", action="store_true",
+                   help="swap-rate-targeted ladder adaptation")
+    _add_sampler_flags(p)
+    p.set_defaults(fn=cmd_temper)
+
+    p = sub.add_parser("smc", help="annealed SMC over the mesh")
+    p.add_argument("--scene", help="scene JSON (default: built-in demo scene)")
+    p.add_argument("--objects", type=int, default=32)
+    p.add_argument("--particles", type=int, default=64)
+    p.add_argument("--stages", type=int, default=10)
+    p.add_argument("--mutate-steps", type=int, default=5)
+    p.add_argument("--adaptive", action="store_true",
+                   help="ESS-targeted adaptive tempering")
+    p.add_argument("--init", choices=["pose0", "prior"], default="pose0")
+    _add_sampler_flags(p)
+    p.set_defaults(fn=cmd_smc)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -74,3 +74,27 @@ def test_cli_pi_and_devices(capsys):
     assert "pi ~=" in capsys.readouterr().out
     assert main(["devices"]) == 0
     assert "devices" in capsys.readouterr().out
+
+
+def test_cli_temper_and_smc(capsys):
+    import json as _json
+
+    rc = main([
+        "temper", "--objects", "6", "--replicas", "8", "--rounds", "4",
+        "--iters", "0", "--adapt-ladder",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert len(out["swap_rates"]) == 4
+    assert len(out["betas"]) == 8
+    assert out["betas"][-1] == 2.0
+
+    rc = main([
+        "smc", "--objects", "6", "--particles", "8", "--stages", "3",
+        "--mutate-steps", "1", "--adaptive", "--init", "prior",
+        "--iters", "0",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert len(out["betas"]) == 3
+    assert all(r in (0, 1) for r in out["resampled"])
