@@ -57,10 +57,14 @@ def run_chain(
     seed: int,
     beta: float = 2.0,
     collect_poses: bool = False,
+    moves_per_step: int = 1,
 ):
     """f64[n_steps] trace of accepted total costs (parity mode).
 
     With ``collect_poses``, also returns the f64[n_steps, N, 6] pose trace.
+    ``moves_per_step`` composes K single-object moves into one compound
+    proposal before the accept decision — the deterministic reading of the
+    reference's blockDim-threads-per-iteration scheme (``Kernel.cu:798``).
     """
     rng = np.random.default_rng(seed)
     pose = np.asarray(spec.positions, np.float64).copy()
@@ -69,6 +73,8 @@ def run_chain(
     poses = np.empty((n_steps, *pose.shape)) if collect_poses else None
     for t in range(n_steps):
         star = propose(rng, pose, spec)
+        for _ in range(moves_per_step - 1):
+            star = propose(rng, star, spec)
         s = oracle.breakdown(spec, star, parity=True)["total"]
         if rng.random() < min(1.0, math.exp(min(beta * (s - cur), 0.0))):
             pose, cur = star, s

@@ -72,3 +72,41 @@ def test_posterior_pose_moments_match_oracle():
     o_spread = o_xy.std()
     np.testing.assert_allclose(m_mean, o_mean, atol=0.35 * o_spread)
     assert 0.5 < m_xy.std() / o_spread < 2.0
+
+
+def test_posterior_cost_moments_match_oracle_block_proposals():
+    """Compound K-move proposals (the deterministic reading of the
+    reference's 64-threads-per-iteration scheme, ``Kernel.cu:798``) must
+    track the same transient cost process as the K-move float64 oracle.
+
+    Calibration note: the PARITY target is improper (negative weights
+    reward violations without bound), so the windowed cost mean behaves
+    like a drifting random walk — measured oracle-vs-oracle spread across
+    seed sets is ~0.5 sigma of the marginal std (means 452-547 for 4-chain
+    pools at these settings). The gate uses a 12-chain oracle pool and a
+    0.5 sigma band: tight enough to catch dynamics bugs (a wrong move mix
+    or broken composition shifts the drift rate well past that), honest
+    about the statistic's seed variance.
+    """
+    spec = demo_scene(6)
+    scene = spec.build()
+    steps, burn, K = 1200, 400, 4
+
+    otraces = np.stack([
+        oracle_mh.run_chain(spec, steps, seed=200 + s, moves_per_step=K)
+        for s in range(12)
+    ])
+    o_samples = otraces[:, burn:].reshape(-1)
+
+    cfg = SamplerConfig(iterations=steps, n_chains=16, n_moves_per_step=K)
+    import jax
+
+    _, traces = run_chains(
+        jax.random.key(1), spec.initial_pose(), scene, cfg, trace_costs=True
+    )
+    m_samples = np.asarray(traces)[:, burn:].reshape(-1)
+
+    o_mean, o_std = o_samples.mean(), o_samples.std()
+    m_mean, m_std = m_samples.mean(), m_samples.std()
+    assert abs(m_mean - o_mean) < 0.5 * o_std, (m_mean, o_mean, o_std)
+    assert 0.5 < m_std / o_std < 2.0, (m_std, o_std)
