@@ -91,9 +91,10 @@ def suggest_layouts(
     if pose0 is None:
         raise ValueError("pose0 is required when passing a built Scene")
 
-    # the fused kernel runs exactly one move per iteration and no step-size
-    # adaptation (the reference semantics); other configs need the XLA engine
-    fused_supports_cfg = cfg.n_moves_per_step == 1 and not cfg.adapt
+    # the fused kernel supports compound block proposals (n_moves_per_step
+    # sequential moves per accept, like the reference's blockxDim threads)
+    # but not step-size adaptation; adaptive configs need the XLA engine
+    fused_supports_cfg = not cfg.adapt
     if engine == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
         # crossover measured 2026-08-18 (post closed-form outside-area):
@@ -113,8 +114,8 @@ def suggest_layouts(
     if engine == "fused":
         if not fused_supports_cfg:
             raise ValueError(
-                "engine='fused' supports n_moves_per_step=1 and adapt=False "
-                "only; use engine='xla' for block proposals or adaptation"
+                "engine='fused' does not support adapt=True; "
+                "use engine='xla' for step-size adaptation"
             )
         if mesh is not None:
             raise ValueError(

@@ -245,6 +245,7 @@ def _fused_kernel(
     n: int,
     report_offlimits: bool,
     incremental: bool,
+    moves_per_step: int = 1,
 ):
     B = pose_ref.shape[1]
     pi = mode.pi
@@ -365,17 +366,26 @@ def _fused_kernel(
             pwa = jnp.zeros((B, 1), jnp.float32)
         rel_s = rel_s_ref[:, :]  # [R, N]
         rel_t = rel_t_ref[:, :]
+        # HIGHEST precision on every one-hot gather matmul: the MXU's
+        # default f32 path rounds operands through bf16 (~0.4% rel), which
+        # truncates the gathered coordinates — measured up to 1.6 absolute
+        # clearance error at piled-up FIXED-mode poses. Full-precision
+        # passes on these tiny [B,N]x[E,N] products cost nothing.
         sx = jax.lax.dot_general(  # [B, R]
-            x, rel_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            x, rel_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
         )
         sy_ = jax.lax.dot_general(
-            y, rel_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            y, rel_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
         )
         tx = jax.lax.dot_general(
-            x, rel_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            x, rel_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
         )
         ty = jax.lax.dot_general(
-            y, rel_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            y, rel_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
         )
         r_cnt = rel_s.shape[0]
         lo = rel_p_ref[:, 0].reshape(1, r_cnt)
@@ -396,19 +406,24 @@ def _fused_kernel(
         a_s = ang_s_ref[:, :]
         a_t = ang_t_ref[:, :]
         asx = jax.lax.dot_general(
-            x, a_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            x, a_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
         )
         asy = jax.lax.dot_general(
-            y, a_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            y, a_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
         )
         atx = jax.lax.dot_general(
-            x, a_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            x, a_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
         )
         aty = jax.lax.dot_general(
-            y, a_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            y, a_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
         )
         atr = jax.lax.dot_general(
-            rot, a_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            rot, a_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
         )
         a_cnt = a_s.shape[0]
         amin = ang_p_ref[:, 0].reshape(1, a_cnt)
@@ -488,10 +503,12 @@ def _fused_kernel(
         cax = jax.lax.dot_general(  # [B, C] anchor translations
             x, clr_s_ref[:, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         cay = jax.lax.dot_general(
             y, clr_s_ref[:, :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         cv0 = clr_p_ref[:, 0].reshape(1, c_cnt)
         ctl = clr_p_ref[:, 1].reshape(1, c_cnt)
@@ -525,10 +542,12 @@ def _fused_kernel(
                 pax = jax.lax.dot_general(
                     x, anc_oh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
                 )  # [B, C]
                 pay = jax.lax.dot_general(
                     y, anc_oh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
                 )
             else:
                 pax, pay = cax, cay
@@ -772,6 +791,129 @@ def _fused_kernel(
         sigx, sigy, sigt = scal_ref[S_SIGX], scal_ref[S_SIGY], scal_ref[S_SIGT]
         scale = scal_ref[S_SCALE]
 
+        def iter_body_multi(t, _):
+            """Compound block proposal: ``moves_per_step`` sequential moves,
+            one cost evaluation, one accept decision (the deterministic
+            equivalent of the reference's blockxDim per-thread proposals,
+            ``Kernel.cu:798-828``; same semantics as the XLA engine's
+            ``block_propose_from_uniforms``)."""
+            x = x_s[:, :]
+            y = y_s[:, :]
+            rot = rot_s[:, :]
+            us0 = _uniform((B, LANE))  # dedicated accept draw
+            u_acc = us0[:, 1:2]
+            gate = jnp.where(has_unfrozen, 1.0, 0.0)
+            two_pi = 2.0 * math.pi
+            ok_row = okv.reshape(1, n)
+            rank_row = rankv.reshape(1, n)
+            n_unf_m1 = jnp.maximum(n_unf - 1.0, 0.0)
+
+            carry0 = (x, y, rot, aux_s[0, :, :], aux_s[1, :, :], aux_s[2, :, :])
+            if incremental:
+                carry0 = (*carry0, sm_s[:, :, :])
+                if not parity:
+                    carry0 = (*carry0, so_s[:, :, :])
+
+            def move_body(_m, carry):
+                xc, yc, rc, b0, b1, b2 = carry[:6]
+                us = _uniform((B, LANE))
+                move = jnp.minimum((us[:, 0:1] * 3.0).astype(jnp.int32), 2)
+                r1 = jnp.sqrt(-2.0 * jnp.log(us[:, 2:3]))
+                r2 = jnp.sqrt(-2.0 * jnp.log(us[:, 4:5]))
+                dx = r1 * jnp.cos(two_pi * us[:, 3:4]) * sigx * scale
+                dy = r1 * jnp.sin(two_pi * us[:, 3:4]) * sigy * scale
+                drot = r2 * jnp.cos(two_pi * us[:, 5:6]) * sigt * scale
+                k1 = jnp.minimum(jnp.floor(us[:, 6:7] * n_unf), n_unf_m1) + 1.0
+                k2 = jnp.minimum(jnp.floor(us[:, 7:8] * n_unf), n_unf_m1) + 1.0
+                sel1 = ((rank_row == k1) & (ok_row > 0)).astype(jnp.float32)
+                sel2 = ((rank_row == k2) & (ok_row > 0)).astype(jnp.float32)
+
+                is_t = (move == 0).astype(jnp.float32)
+                is_r = (move == 1).astype(jnp.float32)
+                is_s = ((move == 2) & (n_objs >= 2)).astype(jnp.float32)
+
+                w_t = is_t * sel1 * gate
+                x_n = xc + w_t * (jnp.clip(xc + dx, mnx, mxx) - xc)
+                y_n = yc + w_t * (jnp.clip(yc + dy, mny, mxy) - yc)
+                wrapped = rc + drot
+                wrapped = jnp.where(wrapped < 0, wrapped + 2 * pi, wrapped)
+                wrapped = jnp.where(wrapped > 2 * pi, wrapped - 2 * pi, wrapped)
+                rot_n = rc + (is_r * sel1 * gate) * (wrapped - rc)
+
+                sw = is_s * gate
+                dsel = sel1 - sel2
+
+                def swapped(plane):
+                    r1v = jnp.sum(sel1 * plane, axis=1, keepdims=True)
+                    r2v = jnp.sum(sel2 * plane, axis=1, keepdims=True)
+                    return plane + sw * dsel * (r2v - r1v)
+
+                # on a swap move w_t = is_r = 0, so x_n == xc etc. — one
+                # helper swaps pose and aux planes alike
+                x_n, y_n, rot_n = swapped(x_n), swapped(y_n), swapped(rot_n)
+                b0, b1, b2 = swapped(b0), swapped(b1), swapped(b2)
+
+                out = (x_n, y_n, rot_n, b0, b1, b2)
+                if incremental:
+                    sm = carry[6]
+                    gate1 = jnp.full((B, 1), 1.0, jnp.float32) * gate
+                    rx_n, ry_n, rr_n = reflections(x_n, y_n, rot_n)
+                    sm = sm_update(
+                        sm, sel1, x_n, y_n, rot_n, rx_n, ry_n, rr_n, gate1
+                    )
+                    sm = sm_update(
+                        sm, sel2, x_n, y_n, rot_n, rx_n, ry_n, rr_n, sw
+                    )
+                    out = (*out, sm)
+                    if not parity:
+                        so = carry[7]
+                        so = so_update(so, sel1, x_n, y_n, gate1)
+                        so = so_update(so, sel2, x_n, y_n, sw)
+                        out = (*out, so)
+                return out
+
+            carry = jax.lax.fori_loop(0, moves_per_step, move_body, carry0)
+            x_star, y_star, rot_star, a0s, a1s, a2s = carry[:6]
+
+            if incremental:
+                sm_star = carry[6]
+                t_other, _ = costs_of(
+                    x_star, y_star, rot_star, False, with_sym=False
+                )
+                total_star = t_other + w_sy * sym_from_sm(sm_star)
+            else:
+                total_star, _ = costs_of(x_star, y_star, rot_star, False)
+            if not parity:
+                if incremental:
+                    so_star = carry[7]
+                    off_star = off_from_so(so_star)
+                else:
+                    off_star = off_from_so(off_state_init(x_star, y_star))
+                total_star = total_star + w_ol * off_star
+
+            cur = cur_s[:, 0:1]
+            ratio = jnp.exp(jnp.minimum(beta * (total_star - cur), 0.0))
+            acc_b = (u_acc < ratio) & (gate > 0)
+            acc = acc_b.astype(jnp.float32)
+
+            x_s[:, :] = jnp.where(acc_b, x_star, x)
+            y_s[:, :] = jnp.where(acc_b, y_star, y)
+            rot_s[:, :] = jnp.where(acc_b, rot_star, rot)
+            aux_s[0, :, :] = jnp.where(acc_b, a0s, aux_s[0, :, :])
+            aux_s[1, :, :] = jnp.where(acc_b, a1s, aux_s[1, :, :])
+            aux_s[2, :, :] = jnp.where(acc_b, a2s, aux_s[2, :, :])
+            if incremental:
+                sm_s[:, :, :] = jnp.where(
+                    acc_b[:, :, None], sm_star, sm_s[:, :, :]
+                )
+                if not parity:
+                    so_s[:, :, :] = jnp.where(
+                        acc_b[:, :, None], so_star, so_s[:, :, :]
+                    )
+            cur_s[:, 0:1] = jnp.where(acc_b, total_star, cur)
+            cur_s[:, 1:2] = cur_s[:, 1:2] + acc
+            return 0
+
         def iter_body(t, _):
             x = x_s[:, :]
             y = y_s[:, :]
@@ -896,7 +1038,11 @@ def _fused_kernel(
             cur_s[:, 1:2] = cur_s[:, 1:2] + acc
             return 0
 
-        jax.lax.fori_loop(0, iterations, iter_body, 0)
+        jax.lax.fori_loop(
+            0, iterations,
+            iter_body if moves_per_step == 1 else iter_body_multi,
+            0,
+        )
 
         # final breakdown for reporting. Symmetry comes from the carried
         # slab maxima when incremental (bitwise-equal to a full eval);
@@ -944,6 +1090,103 @@ def _fused_kernel(
     )
 
 
+# jitted runner per static configuration: a bare pallas_call re-traces and
+# re-lowers the (large) kernel on EVERY invocation — measured ~840 ms of
+# host-side overhead per call at the headline config vs ~25 ms executable
+# dispatch once cached (docs/PERFORMANCE.md). Scene contents are traced
+# ARGUMENTS, so one runner serves every scene with the same padded shapes.
+_RUNNER_CACHE: dict = {}
+
+
+def _fused_runner(
+    *,
+    n: int,
+    n0: int,
+    n_chains: int,
+    bc: int,
+    iterations: int,
+    mode: CostMode,
+    incremental: bool,
+    moves_per_step: int,
+    interpret: bool,
+    vmem_bytes: int,
+    rel_shape: tuple,
+    relp_shape: tuple,
+    ang_shape: tuple,
+    angp_shape: tuple,
+    clr_shape: tuple,
+    clrp_shape: tuple,
+):
+    grid = (n_chains // bc,)
+    rep = lambda *_: (0, 0)  # replicated 2-D scene inputs
+
+    kernel = functools.partial(
+        _fused_kernel,
+        iterations=iterations,
+        mode=mode,
+        n=n,
+        report_offlimits=True,
+        incremental=incremental,
+        moves_per_step=moves_per_step,
+    )
+    call = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        # pose planes alias in->out (index counts array args after the two
+        # scalar-prefetch operands): halves the double-buffered pose VMEM
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_bytes,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # seed + scalars in SMEM
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (6, bc, n), lambda g, *_: (0, g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((N_PLANES, n), rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(rel_shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(rel_shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(relp_shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(ang_shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(ang_shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(angp_shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(clr_shape, rep, memory_space=pltpu.VMEM),
+                pl.BlockSpec(clrp_shape, rep, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (6, bc, n), lambda g, *_: (0, g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (bc, LANE), lambda g, *_: (g, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((6, n_chains, n), jnp.float32),
+            jax.ShapeDtypeStruct((n_chains, LANE), jnp.float32),
+        ],
+    )
+
+    @jax.jit
+    def runner(seed_arr, scalars, p0, planes, rs, rt, rp, a_s, a_t, a_p, cs, cp):
+        pose_planes = jnp.zeros((6, n_chains, n), jnp.float32)
+        pose_planes = pose_planes.at[:, :, :n0].set(jnp.transpose(p0, (2, 0, 1)))
+        pose_out, stats = call(
+            seed_arr, scalars, pose_planes, planes, rs, rt, rp, a_s, a_t, a_p,
+            cs, cp,
+        )
+        pose = jnp.transpose(pose_out[:, :, :n0], (1, 2, 0))  # [C, N0, 6]
+        return pose, stats[:, :8], stats[:, 8].astype(jnp.int32)
+
+    return runner
+
+
 def run_chains_fused(
     seed: Array,
     pose0: Array,
@@ -967,9 +1210,10 @@ def run_chains_fused(
     on-chip (the XLA-level variant loses 140x to HBM traffic, see
     docs/PERFORMANCE.md).
 
-    Not itself jitted: the scene is packed on host (numpy) once per call;
-    the pallas_call below is a single compiled program covering the whole
-    run, so per-call overhead is one dispatch.
+    The scene is packed on host (numpy, ~1 ms) per call; the compiled
+    program is fetched from a per-shape runner cache, so repeat calls cost
+    one executable dispatch (the first call per configuration traces and
+    compiles once).
     """
     if incremental is None:
         incremental = os.environ.get("MH_FUSED_INCREMENTAL", "1") != "0"
@@ -983,69 +1227,35 @@ def run_chains_fused(
     if n_chains % bc:
         raise ValueError(f"n_chains must be a multiple of {bc}")
 
-    # pose planes [6, C, N]
-    pose_planes = jnp.zeros((6, n_chains, n), jnp.float32)
-    p0 = pose0 if pose0.ndim == 3 else jnp.broadcast_to(pose0, (n_chains, n0, 6))
-    pose_planes = pose_planes.at[:, :, :n0].set(jnp.transpose(p0, (2, 0, 1)))
-
-    grid = (n_chains // bc,)
-    rep = lambda *_: (0, 0)  # replicated 2-D scene inputs
-    rep3 = lambda *_: (0, 0, 0)
-
-    kernel = functools.partial(
-        _fused_kernel,
-        iterations=iterations,
-        mode=cfg.mode,
-        n=n,
-        report_offlimits=True,
-        incremental=incremental,
+    cache_key = (
+        n, n0, n_chains, bc, iterations, cfg.mode, incremental,
+        cfg.n_moves_per_step, interpret,
+        packed.rel_src_oh.shape, packed.rel_params.shape,
+        packed.ang_src_oh.shape, packed.ang_params.shape,
+        packed.clr_src_oh.shape, packed.clr_params.shape,
+        int(os.environ.get("MH_FUSED_VMEM", 17 << 20)),
     )
-    pose_out, stats = pl.pallas_call(
-        kernel,
-        interpret=interpret,
-        # pose planes alias in->out (index counts array args after the two
-        # scalar-prefetch operands): halves the double-buffered pose VMEM
-        input_output_aliases={2: 0},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(os.environ.get("MH_FUSED_VMEM", 17 << 20)),
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # seed + scalars in SMEM
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (6, bc, n), lambda g, *_: (0, g, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec((N_PLANES, n), rep, memory_space=pltpu.VMEM),
-                pl.BlockSpec(packed.rel_src_oh.shape, rep, memory_space=pltpu.VMEM),
-                pl.BlockSpec(packed.rel_tgt_oh.shape, rep, memory_space=pltpu.VMEM),
-                pl.BlockSpec(packed.rel_params.shape, rep, memory_space=pltpu.VMEM),
-                pl.BlockSpec(packed.ang_src_oh.shape, rep, memory_space=pltpu.VMEM),
-                pl.BlockSpec(packed.ang_tgt_oh.shape, rep, memory_space=pltpu.VMEM),
-                pl.BlockSpec(packed.ang_params.shape, rep, memory_space=pltpu.VMEM),
-                pl.BlockSpec(packed.clr_src_oh.shape, rep, memory_space=pltpu.VMEM),
-                pl.BlockSpec(packed.clr_params.shape, rep, memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (6, bc, n), lambda g, *_: (0, g, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (bc, LANE), lambda g, *_: (g, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((6, n_chains, n), jnp.float32),
-            jax.ShapeDtypeStruct((n_chains, LANE), jnp.float32),
-        ],
-    )(
+    runner = _RUNNER_CACHE.get(cache_key)
+    if runner is None:
+        runner = _fused_runner(
+            n=n, n0=n0, n_chains=n_chains, bc=bc, iterations=iterations,
+            mode=cfg.mode, incremental=incremental,
+            moves_per_step=cfg.n_moves_per_step, interpret=interpret,
+            vmem_bytes=cache_key[-1],
+            rel_shape=packed.rel_src_oh.shape,
+            relp_shape=packed.rel_params.shape,
+            ang_shape=packed.ang_src_oh.shape,
+            angp_shape=packed.ang_params.shape,
+            clr_shape=packed.clr_src_oh.shape,
+            clrp_shape=packed.clr_params.shape,
+        )
+        _RUNNER_CACHE[cache_key] = runner
+
+    p0 = pose0 if pose0.ndim == 3 else jnp.broadcast_to(pose0, (n_chains, n0, 6))
+    return runner(
         jnp.asarray([seed], jnp.int32),
         packed.scalars,
-        pose_planes,
+        p0,
         packed.planes,
         packed.rel_src_oh,
         packed.rel_tgt_oh,
@@ -1056,10 +1266,5 @@ def run_chains_fused(
         packed.clr_src_oh,
         packed.clr_params,
     )
-
-    pose = jnp.transpose(pose_out[:, :, :n0], (1, 2, 0))  # [C, N0, 6]
-    breakdown = stats[:, :8]
-    n_accept = stats[:, 8].astype(jnp.int32)
-    return pose, breakdown, n_accept
 
 

@@ -56,9 +56,10 @@ def test_unknown_engine_rejected():
 
 
 def test_fused_engine_rejects_unsupported_config():
-    """The fused kernel runs 1 move/step, no adaptation: explicit engine
+    """The fused kernel has no step-size adaptation: explicit engine
     selection must fail loudly instead of silently ignoring the config,
-    and auto must route such configs to the XLA engine."""
+    and auto must route such configs to the XLA engine. (Block proposals
+    are supported in-kernel — tests/test_fused_kernel.py.)"""
     import pytest
 
     from mh_tpu.api import suggest_layouts
@@ -67,7 +68,6 @@ def test_fused_engine_rejects_unsupported_config():
 
     spec = demo_scene(8)
     for bad in (
-        SamplerConfig(iterations=2, n_chains=8, n_moves_per_step=4),
         SamplerConfig(iterations=2, n_chains=8, adapt=True),
     ):
         with pytest.raises(ValueError, match="fused"):

@@ -84,3 +84,49 @@ def test_fused_zero_iterations_is_identity():
         atol=2e-3,
     )
     assert int(np.asarray(n_acc)[0]) == 0
+
+
+@pytest.mark.parametrize("mode", [CostMode.PARITY, CostMode.FIXED])
+@pytest.mark.parametrize("incremental", [True, False])
+def test_fused_block_proposals(mode, incremental):
+    """Compound K-move proposals in-kernel (the reference's blockxDim
+    threads, ``Kernel.cu:798-828``): final breakdown must match a fresh
+    cost evaluation of the final pose, and the K-move incremental slab
+    state must agree with full recompute."""
+    from mh_tpu.kernels.fused_mh import run_chains_fused
+
+    spec = demo_scene(24)
+    scene = spec.build()
+    cfg = SamplerConfig(mode=mode, n_moves_per_step=4)
+    pose, breakdown, n_acc = run_chains_fused(
+        5, spec.initial_pose(), scene, cfg, 8, 60, incremental=incremental
+    )
+    pose = np.asarray(pose)
+    assert not np.isnan(pose).any()
+    acc = np.asarray(n_acc)
+    assert acc.min() >= 0 and acc.max() <= 60
+    for c in range(8):
+        ref = cost_terms(pose[c], scene, mode)
+        np.testing.assert_allclose(
+            float(breakdown[c, 0]), float(ref.total), rtol=2e-4, atol=2e-3
+        )
+    # a block of 4 moves must actually move several objects on acceptance
+    moved = np.any(pose != np.asarray(spec.initial_pose())[None], axis=2)
+    assert moved.sum(axis=1).max() >= 2
+
+
+@pytest.mark.parametrize("mode", [CostMode.PARITY, CostMode.FIXED])
+def test_fused_block_incremental_matches_full_bitwise(mode):
+    from mh_tpu.kernels.fused_mh import run_chains_fused
+
+    spec = demo_scene(24)
+    scene = spec.build()
+    cfg = SamplerConfig(mode=mode, n_moves_per_step=3)
+    pose_i, bd_i, acc_i = run_chains_fused(
+        9, spec.initial_pose(), scene, cfg, 8, 150, incremental=True
+    )
+    pose_f, bd_f, acc_f = run_chains_fused(
+        9, spec.initial_pose(), scene, cfg, 8, 150, incremental=False
+    )
+    np.testing.assert_array_equal(np.asarray(acc_i), np.asarray(acc_f))
+    np.testing.assert_array_equal(np.asarray(pose_i), np.asarray(pose_f))
