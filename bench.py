@@ -68,6 +68,27 @@ def _per_step_interleaved(run, short: int, long: int, repeats: int = 6) -> float
     return max((t_long - t_short) / (long - short), 1e-9)
 
 
+
+def _per_step_linfit(run, lengths, repeats: int = 6) -> float:
+    """Per-step seconds as the slope of min wall time over scan lengths.
+
+    Strictly dominates two-point differencing under the tunnel's
+    time-correlated per-call noise: three+ lengths expose any intercept
+    misestimate as a residual instead of folding it into the slope.
+    """
+    mins = {}
+    for it in lengths:
+        run(it)  # compile/warm
+        mins[it] = math.inf
+    for _ in range(repeats):
+        for it in lengths:
+            t0 = time.perf_counter()
+            run(it)
+            mins[it] = min(mins[it], time.perf_counter() - t0)
+    xs = np.array(lengths, float)
+    ys = np.array([mins[it] for it in lengths])
+    return max(float(np.polyfit(xs, ys, 1)[0]), 1e-9)
+
 def oracle_baseline_proposals_per_s(n_objs: int = 100, iters: int = 30) -> float:
     """Reference-math MH loop (NumPy oracle) single-core proposals/s."""
     sys.path.insert(0, "tests")
@@ -92,12 +113,13 @@ def oracle_baseline_proposals_per_s(n_objs: int = 100, iters: int = 30) -> float
 
 
 def bench_layout(n_objs: int, n_chains: int, iterations: int, n_moves: int = 1) -> dict:
-    """Steady-state MH throughput, measured by scan-length differencing.
+    """Steady-state MH throughput via a 3-length linearity fit.
 
-    The axon TPU tunnel adds ~25 ms dispatch overhead per executable call and
+    The axon TPU tunnel adds tens-to-hundreds of ms of per-call overhead and
     its ``block_until_ready`` does not reliably block, so: (a) completion is
-    forced with a host copy, (b) per-step time = (T(iters) - T(iters/6)) /
-    (iters - iters/6), which cancels dispatch + compile-cache overheads.
+    forced with a host copy, (b) per-step time is the slope of min wall time
+    over three scan lengths (``_per_step_linfit``), which cancels dispatch +
+    compile-cache overheads without the two-point differencing pathologies.
     """
     from mh_tpu.config import SamplerConfig  # noqa: PLC0415
     from mh_tpu.models.scene import demo_scene  # noqa: PLC0415
@@ -121,9 +143,8 @@ def bench_layout(n_objs: int, n_chains: int, iterations: int, n_moves: int = 1) 
         return states
 
     short = max(iterations // 10, 1)
-    run(short)  # compile short program
-    run(iterations)  # compile long program
-    per_step = _per_step_interleaved(run, short, iterations)
+    mid = max(iterations // 2, 2)
+    per_step = _per_step_linfit(run, (short, mid, iterations))
     states = run(iterations)
     accept_rate = float(np.mean(np.asarray(states.accept_rate)))
     return {
@@ -162,7 +183,13 @@ def bench_pi_fused(n_samples: int = 1 << 30) -> dict:
 
 
 def bench_fused(n_objs: int, n_chains: int) -> dict:
-    """Fused Pallas MH kernel throughput (scan-length differencing)."""
+    """Fused Pallas MH kernel throughput, 3-length linearity fit.
+
+    Two-point differencing under the tunnel's per-call noise (hundreds of
+    ms, time-correlated) fabricated both phantom speedups and slowdowns;
+    the slope of min-wall-time over three scan lengths is robust
+    (docs/PERFORMANCE.md, measurement-methodology corrections).
+    """
     from mh_tpu.config import SamplerConfig  # noqa: PLC0415
     from mh_tpu.kernels.fused_mh import run_chains_fused  # noqa: PLC0415
     from mh_tpu.models.scene import demo_scene  # noqa: PLC0415
@@ -173,12 +200,10 @@ def bench_fused(n_objs: int, n_chains: int) -> dict:
     pose0 = spec.initial_pose()
 
     def run(iters):
-        pose, bd, acc = run_chains_fused(0, pose0, scene, cfg, n_chains, iters)
+        pose, bd, acc, _ = run_chains_fused(0, pose0, scene, cfg, n_chains, iters)
         np.asarray(pose)
 
-    run(10)
-    run(2010)
-    per_step = _per_step_interleaved(run, 10, 2010, repeats=4)
+    per_step = _per_step_linfit(run, (10, 1010, 2010))
     return {"proposals_per_s": n_chains / per_step, "per_step_ms": per_step * 1e3}
 
 

@@ -86,7 +86,7 @@ def main():
             os.environ["MH_FUSED_VMEM"] = str(64 << 20)
 
         def run_fused(iters):
-            pose, _, _ = run_chains_fused(0, pose0, scene, cfg, n_chains, iters)
+            pose, _, _, _ = run_chains_fused(0, pose0, scene, cfg, n_chains, iters)
             np.asarray(pose)
 
         per = per_step(run_fused)

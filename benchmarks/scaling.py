@@ -138,7 +138,7 @@ def sweep_fused(n_chains: int = 1024) -> None:
         cfg = SamplerConfig()
 
         def run(iters):
-            pose, _, _ = run_chains_fused(0, pose0, scene, cfg, n_chains, iters)
+            pose, _, _, _ = run_chains_fused(0, pose0, scene, cfg, n_chains, iters)
             np.asarray(pose)
 
         per = _per_step(run, short=10, long_=1010)

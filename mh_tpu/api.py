@@ -64,10 +64,11 @@ def suggest_layouts(
 
     ``engine``:
 
-    - ``"auto"`` (default): the Pallas fused kernel on TPU for scenes
-      above one object tile (its incremental-symmetry update is O(N) per
-      step vs the scan's O(N^2), measured 1.9x faster at 200 objects and
-      2.9x at 400 on v5e), the XLA scan otherwise.
+    - ``"auto"`` (default): the Pallas fused kernel on TPU for large
+      scenes (its incremental-symmetry update is O(N) per step vs the
+      scan's O(N^2): linearity-fit slopes on v5e measure the fused kernel
+      2.6x faster at 256 objects but 1.7x slower at 100, crossing over
+      near ~165 padded objects), the XLA scan otherwise.
     - ``"xla"``: the fused-by-XLA ``lax.scan`` (any backend).
     - ``"xla_specialized"``: the XLA scan compiled with the scene embedded
       as constants — ~20% faster steady-state, one fresh compile per
@@ -93,30 +94,24 @@ def suggest_layouts(
 
     # the fused kernel supports compound block proposals (n_moves_per_step
     # sequential moves per accept, like the reference's blockxDim threads)
-    # but not step-size adaptation; adaptive configs need the XLA engine
-    fused_supports_cfg = not cfg.adapt
+    # and per-chain Robbins-Monro step-size adaptation in-kernel
     if engine == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        # crossover measured 2026-08-18 (post closed-form outside-area):
-        # fused 0.067 ms vs XLA 0.184 at 128 objects; a tie within tunnel
-        # variance at 100 — switch just above the demo headline size
-        big_scene = scene.n_pad_objs > 104
+        # crossover from linearity-fit slopes (2026-08-19, v5e, 1024
+        # chains): XLA 0.083 ms/step at 100 objs vs fused 0.144; XLA
+        # 0.546 at 256 vs fused 0.209 — power-law fit crosses near 165
+        big_scene = scene.n_pad_objs > 160
         chains_fit = cfg.n_chains % 8 == 0
         engine = (
             "fused"
             if (
-                on_tpu and big_scene and chains_fit and fused_supports_cfg
+                on_tpu and big_scene and chains_fit
                 and mesh is None and jax.device_count() == 1
             )
             else "xla"
         )
 
     if engine == "fused":
-        if not fused_supports_cfg:
-            raise ValueError(
-                "engine='fused' does not support adapt=True; "
-                "use engine='xla' for step-size adaptation"
-            )
         if mesh is not None:
             raise ValueError(
                 "engine='fused' is single-device; drop mesh or use "
@@ -125,7 +120,7 @@ def suggest_layouts(
         from mh_tpu.kernels.fused_mh import run_chains_fused
 
         seed = key if isinstance(key, int) else 0
-        pose, breakdown, n_acc = run_chains_fused(
+        pose, breakdown, n_acc, scale = run_chains_fused(
             seed, pose0, scene, cfg, cfg.n_chains, cfg.iterations
         )
         n_real = int(np.sum(np.asarray(scene.obj_mask) > 0))
@@ -133,7 +128,7 @@ def suggest_layouts(
             points=np.asarray(pose)[:, :n_real, :],
             costs=np.asarray(breakdown),
             accept_rate=np.asarray(n_acc, np.float64) / max(cfg.iterations, 1),
-            step_scale=np.ones(cfg.n_chains),
+            step_scale=np.asarray(scale),
         )
     if engine not in ("xla", "xla_specialized"):
         raise ValueError(

@@ -47,15 +47,16 @@ def block_chains(n: int) -> int:
     """Chains per grid step for a scene padded to ``n`` object lanes.
 
     All cost terms are chain-vectorized 3-D tiles, so larger blocks
-    amortize per-iteration bookkeeping until the O(B*n) VMEM temps bind:
-    B=32 measured fastest at n=128-256 on v5e (B=64 compiles but
-    saturates); larger scenes must shrink B to fit the slab-maxima state.
+    amortize per-iteration bookkeeping until the O(B*n) VMEM temps bind.
+    Linearity-fit slopes at 1024 chains on v5e (2026-08-19): n=128 —
+    B=16: 0.200, B=32: 0.161, B=64: 0.144 ms/step (B=128 gains 7% more
+    but needs MH_FUSED_VMEM=64M); n=256 — B=32: 0.209 beats B=16: 0.240.
     ``MH_FUSED_BLOCK`` overrides.
     """
     env = os.environ.get("MH_FUSED_BLOCK", "")
     if env:
         return int(env)
-    return max(8, min(32, 8192 // n))
+    return max(8, min(64, 8192 // n))
 
 _NEG_HUGE = -1e30
 
@@ -69,7 +70,8 @@ N_PLANES = 10
 (S_WPW, S_WVB, S_WFP, S_WSY, S_WCL, S_WOL, S_WSA,
  S_CX2, S_CY2, S_FX, S_FY, S_FROT,
  S_MNX, S_MNY, S_MXX, S_MXY,
- S_SIGX, S_SIGY, S_SIGT, S_BETA, S_NOBJ, S_SCALE, S_NUNF) = range(23)
+ S_SIGX, S_SIGY, S_SIGT, S_BETA, S_NOBJ, S_SCALE, S_NUNF,
+ S_ADAPTR, S_TARGET) = range(25)
 N_SCALARS = 32
 
 
@@ -144,6 +146,8 @@ def pack_scene(scene: Scene, cfg: SamplerConfig) -> PackedScene:
     scalars[S_NOBJ] = float(np.sum(np.asarray(scene.obj_mask) > 0))
     scalars[S_SCALE] = 1.0
     scalars[S_NUNF] = float(np.sum(ok))
+    scalars[S_ADAPTR] = float(cfg.adapt_rate)
+    scalars[S_TARGET] = float(cfg.target_accept)
 
     # Pad entity counts (relationships/angles/clearances) to a sublane tile
     # (multiple of 8). Entities ride the SUBLANE axis of [B, E, N] /
@@ -246,6 +250,7 @@ def _fused_kernel(
     report_offlimits: bool,
     incremental: bool,
     moves_per_step: int = 1,
+    adapt: bool = False,
 ):
     B = pose_ref.shape[1]
     pi = mode.pi
@@ -787,9 +792,11 @@ def _fused_kernel(
             total0 = total0 + w_ol * off0
         cur_s[:, 0:1] = total0
         cur_s[:, 1:2] = jnp.zeros((B, 1), jnp.float32)  # accept count
+        cur_s[:, 2:3] = jnp.zeros((B, 1), jnp.float32)  # log step-scale
 
         sigx, sigy, sigt = scal_ref[S_SIGX], scal_ref[S_SIGY], scal_ref[S_SIGT]
         scale = scal_ref[S_SCALE]
+        adapt_rate, target_acc = scal_ref[S_ADAPTR], scal_ref[S_TARGET]
 
         def iter_body_multi(t, _):
             """Compound block proposal: ``moves_per_step`` sequential moves,
@@ -808,6 +815,7 @@ def _fused_kernel(
             rank_row = rankv.reshape(1, n)
             n_unf_m1 = jnp.maximum(n_unf - 1.0, 0.0)
 
+            scale_b = jnp.exp(cur_s[:, 2:3]) if adapt else scale
             carry0 = (x, y, rot, aux_s[0, :, :], aux_s[1, :, :], aux_s[2, :, :])
             if incremental:
                 carry0 = (*carry0, sm_s[:, :, :])
@@ -820,9 +828,9 @@ def _fused_kernel(
                 move = jnp.minimum((us[:, 0:1] * 3.0).astype(jnp.int32), 2)
                 r1 = jnp.sqrt(-2.0 * jnp.log(us[:, 2:3]))
                 r2 = jnp.sqrt(-2.0 * jnp.log(us[:, 4:5]))
-                dx = r1 * jnp.cos(two_pi * us[:, 3:4]) * sigx * scale
-                dy = r1 * jnp.sin(two_pi * us[:, 3:4]) * sigy * scale
-                drot = r2 * jnp.cos(two_pi * us[:, 5:6]) * sigt * scale
+                dx = r1 * jnp.cos(two_pi * us[:, 3:4]) * sigx * scale_b
+                dy = r1 * jnp.sin(two_pi * us[:, 3:4]) * sigy * scale_b
+                drot = r2 * jnp.cos(two_pi * us[:, 5:6]) * sigt * scale_b
                 k1 = jnp.minimum(jnp.floor(us[:, 6:7] * n_unf), n_unf_m1) + 1.0
                 k2 = jnp.minimum(jnp.floor(us[:, 7:8] * n_unf), n_unf_m1) + 1.0
                 sel1 = ((rank_row == k1) & (ok_row > 0)).astype(jnp.float32)
@@ -912,6 +920,10 @@ def _fused_kernel(
                     )
             cur_s[:, 0:1] = jnp.where(acc_b, total_star, cur)
             cur_s[:, 1:2] = cur_s[:, 1:2] + acc
+            if adapt:
+                cur_s[:, 2:3] = cur_s[:, 2:3] + adapt_rate * (
+                    acc - target_acc
+                )
             return 0
 
         def iter_body(t, _):
@@ -927,12 +939,13 @@ def _fused_kernel(
 
             move = jnp.minimum((us[:, 0:1] * 3.0).astype(jnp.int32), 2)  # [B,1]
             u_acc = us[:, 1:2]
+            scale_b = jnp.exp(cur_s[:, 2:3]) if adapt else scale
             r1 = jnp.sqrt(-2.0 * jnp.log(us[:, 2:3]))
             r2 = jnp.sqrt(-2.0 * jnp.log(us[:, 4:5]))
             two_pi = 2.0 * math.pi
-            dx = r1 * jnp.cos(two_pi * us[:, 3:4]) * sigx * scale
-            dy = r1 * jnp.sin(two_pi * us[:, 3:4]) * sigy * scale
-            drot = r2 * jnp.cos(two_pi * us[:, 5:6]) * sigt * scale
+            dx = r1 * jnp.cos(two_pi * us[:, 3:4]) * sigx * scale_b
+            dy = r1 * jnp.sin(two_pi * us[:, 3:4]) * sigy * scale_b
+            drot = r2 * jnp.cos(two_pi * us[:, 5:6]) * sigt * scale_b
 
             # Uniform pick among movable objects via rank match: draw a
             # 1-based rank k in [1, n_unf] and one-hot the object whose
@@ -1036,6 +1049,10 @@ def _fused_kernel(
                 )
             cur_s[:, 0:1] = jnp.where(acc_b, total_star, cur)
             cur_s[:, 1:2] = cur_s[:, 1:2] + acc
+            if adapt:
+                cur_s[:, 2:3] = cur_s[:, 2:3] + adapt_rate * (
+                    acc - target_acc
+                )
             return 0
 
         jax.lax.fori_loop(
@@ -1073,7 +1090,8 @@ def _fused_kernel(
             [
                 total, pair_w, vb_w, fp_w, sym_w, clr_w, off_w, sa_w,
                 cur_s[:, 1:2],
-                jnp.zeros((B, LANE - 9), jnp.float32),
+                jnp.exp(cur_s[:, 2:3]),
+                jnp.zeros((B, LANE - 10), jnp.float32),
             ],
             axis=1,
         )
@@ -1108,6 +1126,7 @@ def _fused_runner(
     mode: CostMode,
     incremental: bool,
     moves_per_step: int,
+    adapt: bool,
     interpret: bool,
     vmem_bytes: int,
     rel_shape: tuple,
@@ -1128,6 +1147,7 @@ def _fused_runner(
         report_offlimits=True,
         incremental=incremental,
         moves_per_step=moves_per_step,
+        adapt=adapt,
     )
     call = pl.pallas_call(
         kernel,
@@ -1182,7 +1202,9 @@ def _fused_runner(
             cs, cp,
         )
         pose = jnp.transpose(pose_out[:, :, :n0], (1, 2, 0))  # [C, N0, 6]
-        return pose, stats[:, :8], stats[:, 8].astype(jnp.int32)
+        return (
+            pose, stats[:, :8], stats[:, 8].astype(jnp.int32), stats[:, 9]
+        )
 
     return runner
 
@@ -1200,7 +1222,9 @@ def run_chains_fused(
     """Run ``n_chains`` MH chains fully fused on-chip.
 
     Returns ``(pose f32[n_chains, N0, 6], breakdown f32[n_chains, 8],
-    n_accept i32[n_chains])`` where N0 is the scene's padded object count.
+    n_accept i32[n_chains], step_scale f32[n_chains])`` where N0 is the
+    scene's padded object count; ``step_scale`` is the final adapted
+    step-size scale (1.0 when ``cfg.adapt`` is off).
     Chains are grouped in blocks of ``block_chains(n)`` per grid step.
 
     ``incremental`` (default on; env ``MH_FUSED_INCREMENTAL=0`` disables):
@@ -1229,7 +1253,7 @@ def run_chains_fused(
 
     cache_key = (
         n, n0, n_chains, bc, iterations, cfg.mode, incremental,
-        cfg.n_moves_per_step, interpret,
+        cfg.n_moves_per_step, cfg.adapt, interpret,
         packed.rel_src_oh.shape, packed.rel_params.shape,
         packed.ang_src_oh.shape, packed.ang_params.shape,
         packed.clr_src_oh.shape, packed.clr_params.shape,
@@ -1240,7 +1264,8 @@ def run_chains_fused(
         runner = _fused_runner(
             n=n, n0=n0, n_chains=n_chains, bc=bc, iterations=iterations,
             mode=cfg.mode, incremental=incremental,
-            moves_per_step=cfg.n_moves_per_step, interpret=interpret,
+            moves_per_step=cfg.n_moves_per_step, adapt=cfg.adapt,
+            interpret=interpret,
             vmem_bytes=cache_key[-1],
             rel_shape=packed.rel_src_oh.shape,
             relp_shape=packed.rel_params.shape,

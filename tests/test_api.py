@@ -56,24 +56,27 @@ def test_unknown_engine_rejected():
 
 
 def test_fused_engine_rejects_unsupported_config():
-    """The fused kernel has no step-size adaptation: explicit engine
-    selection must fail loudly instead of silently ignoring the config,
-    and auto must route such configs to the XLA engine. (Block proposals
-    are supported in-kernel — tests/test_fused_kernel.py.)"""
+    """The fused kernel is single-device: combining it with a chains mesh
+    must fail loudly instead of silently dropping the mesh. Adaptation and
+    block proposals are supported in-kernel (tests/test_fused_kernel.py),
+    so auto handles every sampler config on any platform."""
     import pytest
 
     from mh_tpu.api import suggest_layouts
     from mh_tpu.config import SamplerConfig
     from mh_tpu.models.scene import demo_scene
+    from mh_tpu.parallel.mesh import chain_mesh
 
     spec = demo_scene(8)
-    for bad in (
-        SamplerConfig(iterations=2, n_chains=8, adapt=True),
+    cfg = SamplerConfig(iterations=2, n_chains=8, adapt=True)
+    with pytest.raises(ValueError, match="fused"):
+        suggest_layouts(spec, cfg, key=0, engine="fused", mesh=chain_mesh())
+    # auto handles adaptive + block-proposal configs on any platform
+    for ok in (
+        cfg,
+        SamplerConfig(iterations=2, n_chains=8, n_moves_per_step=4),
     ):
-        with pytest.raises(ValueError, match="fused"):
-            suggest_layouts(spec, bad, key=0, engine="fused")
-        # auto must not pick fused for these configs (runs on any platform)
-        res = suggest_layouts(spec, bad, key=0, engine="auto")
+        res = suggest_layouts(spec, ok, key=0, engine="auto")
         assert res.points.shape[0] == 8
 
 

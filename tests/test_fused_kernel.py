@@ -26,7 +26,7 @@ def test_fused_matches_xla_costs(mode):
     spec = demo_scene(32)
     scene = spec.build()
     cfg = SamplerConfig(mode=mode)
-    pose, breakdown, n_acc = run_chains_fused(
+    pose, breakdown, n_acc, _ = run_chains_fused(
         0, spec.initial_pose(), scene, cfg, 8, 50
     )
     pose = np.asarray(pose)
@@ -54,10 +54,10 @@ def test_incremental_matches_full_recompute_bitwise(mode):
     spec = demo_scene(48)
     scene = spec.build()
     cfg = SamplerConfig(mode=mode)
-    pose_i, bd_i, acc_i = run_chains_fused(
+    pose_i, bd_i, acc_i, _ = run_chains_fused(
         3, spec.initial_pose(), scene, cfg, 8, 300, incremental=True
     )
-    pose_f, bd_f, acc_f = run_chains_fused(
+    pose_f, bd_f, acc_f, _ = run_chains_fused(
         3, spec.initial_pose(), scene, cfg, 8, 300, incremental=False
     )
     np.testing.assert_array_equal(np.asarray(acc_i), np.asarray(acc_f))
@@ -70,7 +70,7 @@ def test_fused_zero_iterations_is_identity():
 
     spec = demo_scene(16)
     scene = spec.build()
-    pose, breakdown, n_acc = run_chains_fused(
+    pose, breakdown, n_acc, _ = run_chains_fused(
         7, spec.initial_pose(), scene, SamplerConfig(), 8, 0
     )
     np.testing.assert_allclose(
@@ -98,7 +98,7 @@ def test_fused_block_proposals(mode, incremental):
     spec = demo_scene(24)
     scene = spec.build()
     cfg = SamplerConfig(mode=mode, n_moves_per_step=4)
-    pose, breakdown, n_acc = run_chains_fused(
+    pose, breakdown, n_acc, _ = run_chains_fused(
         5, spec.initial_pose(), scene, cfg, 8, 60, incremental=incremental
     )
     pose = np.asarray(pose)
@@ -122,11 +122,32 @@ def test_fused_block_incremental_matches_full_bitwise(mode):
     spec = demo_scene(24)
     scene = spec.build()
     cfg = SamplerConfig(mode=mode, n_moves_per_step=3)
-    pose_i, bd_i, acc_i = run_chains_fused(
+    pose_i, bd_i, acc_i, _ = run_chains_fused(
         9, spec.initial_pose(), scene, cfg, 8, 150, incremental=True
     )
-    pose_f, bd_f, acc_f = run_chains_fused(
+    pose_f, bd_f, acc_f, _ = run_chains_fused(
         9, spec.initial_pose(), scene, cfg, 8, 150, incremental=False
     )
     np.testing.assert_array_equal(np.asarray(acc_i), np.asarray(acc_f))
     np.testing.assert_array_equal(np.asarray(pose_i), np.asarray(pose_f))
+
+
+def test_fused_step_size_adaptation():
+    """In-kernel per-chain Robbins-Monro step-size adaptation drives the
+    acceptance rate toward the target (cfg.adapt, like the XLA engine)."""
+    from mh_tpu.kernels.fused_mh import run_chains_fused
+
+    spec = demo_scene(16)
+    scene = spec.build()
+    cfg = SamplerConfig(adapt=True, target_accept=0.8, adapt_rate=0.08)
+    pose, _, n_acc, scale = run_chains_fused(
+        11, spec.initial_pose(), scene, cfg, 8, 400
+    )
+    assert not np.isnan(np.asarray(pose)).any()
+    rates = np.asarray(n_acc, np.float64) / 400.0
+    scale = np.asarray(scale)
+    # un-adapted acceptance here is ~0.5; the controller must push it up
+    # by shrinking the step scale
+    assert rates.mean() > 0.65, rates
+    assert scale.mean() < 0.9, scale
+    assert np.all(scale > 0)
