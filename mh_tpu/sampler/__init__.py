@@ -6,6 +6,7 @@
 - :mod:`mh_tpu.sampler.smc` — annealed SMC with distributed resampling
 - :mod:`mh_tpu.sampler.hmc` — leapfrog HMC with dual-averaging warmup
 - :mod:`mh_tpu.sampler.nuts` — multinomial NUTS (static-shape tree doubling)
+- :mod:`mh_tpu.sampler.mala` — Metropolis-adjusted Langevin (one grad/step)
 - :mod:`mh_tpu.sampler.vi` — mean-field Gaussian VI
 - :mod:`mh_tpu.sampler.generic` — RW-MH over arbitrary log-densities
 - :mod:`mh_tpu.sampler.incremental` — exact delta-cost variant (see its
@@ -24,5 +25,6 @@ from mh_tpu.sampler.tempering import geometric_ladder, run_tempered
 from mh_tpu.sampler.smc import run_smc
 from mh_tpu.sampler.hmc import hmc_sample
 from mh_tpu.sampler.nuts import nuts_sample
+from mh_tpu.sampler.mala import mala_sample
 from mh_tpu.sampler.vi import meanfield_vi
 from mh_tpu.sampler.generic import layout_logdensity, rw_metropolis
