@@ -42,25 +42,26 @@ def _best(fn, repeats: int = 3) -> float:
     return best
 
 
-def _per_step(run, short: int = 100, long_: int = 1000, repeats: int = 4) -> float:
-    """Scan-length differencing, interleaved: min(T_long) − min(T_short).
+def _per_step(run, short: int = 100, long_: int = 1000, repeats: int = 6) -> float:
+    """Per-step seconds as the slope of min wall time over 3 scan lengths.
 
-    Tunnel contention is time-correlated and strictly additive, so the
-    per-length minima converge to uncontended times; interleaving spreads
-    both lengths over the same contention windows (see bench.py)."""
-    run(short)
-    run(long_)
-    t_s = math.inf
-    t_l = math.inf
+    Two-point differencing under the tunnel's per-call noise fabricated
+    large errors (docs/PERFORMANCE.md, measurement-methodology
+    corrections); the 3-length linearity fit exposes intercept misfits as
+    residuals instead of folding them into the slope."""
+    lengths = (short, (short + long_) // 2, long_)
+    mins = {}
+    for it in lengths:
+        run(it)  # compile/warm
+        mins[it] = math.inf
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        run(short)
-        t1 = time.perf_counter()
-        run(long_)
-        t2 = time.perf_counter()
-        t_s = min(t_s, t1 - t0)
-        t_l = min(t_l, t2 - t1)
-    return max((t_l - t_s) / (long_ - short), 1e-9)
+        for it in lengths:
+            t0 = time.perf_counter()
+            run(it)
+            mins[it] = min(mins[it], time.perf_counter() - t0)
+    xs = np.array(lengths, float)
+    ys = np.array([mins[it] for it in lengths])
+    return max(float(np.polyfit(xs, ys, 1)[0]), 1e-9)
 
 
 def sweep_chains(n_objs: int = 100) -> None:
