@@ -64,11 +64,10 @@ def suggest_layouts(
 
     ``engine``:
 
-    - ``"auto"`` (default): the Pallas fused kernel on TPU for large
-      scenes (its incremental-symmetry update is O(N) per step vs the
-      scan's O(N^2): linearity-fit slopes on v5e measure the fused kernel
-      2.6x faster at 256 objects but 1.7x slower at 100, crossing over
-      near ~165 padded objects), the XLA scan otherwise.
+    - ``"auto"`` (default): the Pallas fused kernel on TPU for scenes
+      past one object tile (its incremental-symmetry update is O(N) per
+      step vs the scan's O(N^2): 2.4x faster than the scan at 256
+      objects, 1.3x at 128, slower below), the XLA scan otherwise.
     - ``"xla"``: the fused-by-XLA ``lax.scan`` (any backend).
     - ``"xla_specialized"``: the XLA scan compiled with the scene embedded
       as constants — ~20% faster steady-state, one fresh compile per
@@ -98,9 +97,13 @@ def suggest_layouts(
     if engine == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
         # crossover from linearity-fit slopes (2026-08-19, v5e, 1024
-        # chains): XLA 0.083 ms/step at 100 objs vs fused 0.144; XLA
-        # 0.546 at 256 vs fused 0.209 — power-law fit crosses near 165
-        big_scene = scene.n_pad_objs > 160
+        # chains) against the engine auto actually uses (the unspecialized
+        # run_chains scan): XLA 0.117 ms/step at 100 objs vs fused 0.147,
+        # XLA 0.191 at 128 vs fused 0.147, XLA 0.565 at 256 vs fused
+        # 0.233 — fused wins from the second object tile up. (The
+        # xla_specialized engine stays faster until ~165 padded objects:
+        # 0.083 at 100; pick it explicitly for fixed production scenes.)
+        big_scene = scene.n_pad_objs > 104
         chains_fit = cfg.n_chains % 8 == 0
         engine = (
             "fused"

@@ -60,6 +60,11 @@ def block_chains(n: int) -> int:
 
 _NEG_HUGE = -1e30
 
+# clearance counts up to this unroll as [B, N] plane math with params in
+# SMEM (~4x less VPU work than the 8-sublane-padded [B, C, N] tile when
+# only 1-4 clearances are real); larger counts keep the tile path
+CLR_UNROLL_MAX = 4
+
 # scene plane indices (packed [P, N] array)
 P_MASK, P_OK, P_AREA = 0, 1, 2
 P_OV0X, P_OTAILX, P_OMINX, P_OMINY, P_OMAXX, P_OMAXY = 3, 4, 5, 6, 7, 8
@@ -94,6 +99,10 @@ class PackedScene:
     clr_src_oh: Array  # f32[C, N]
     clr_params: Array  # f32[C, 128]: 0 v0x, 1 tailx, 2 minx, 3 miny, 4 maxx,
     #                    5 maxy, 6 mask, 7 parity_anchor (min(i, N-1))
+    clr_scal: Array  # f32[CLR_UNROLL_MAX*8] — same params flattened for the
+    #                  SMEM unrolled clearance path (c*8 + field)
+    n_clr_real: int  # real (unpadded) clearance count
+    clr_anchors: tuple  # static parity anchor index per real clearance
     n: int  # padded object lanes
 
 
@@ -172,6 +181,17 @@ def pack_scene(scene: Scene, cfg: SamplerConfig) -> PackedScene:
     clr_m = np.asarray(scene.clr_mask)
     clr_anchor = np.minimum(np.arange(len(clr_m)), n0 - 1)  # Kernel.cu:456 quirk
 
+    clr_cols = [
+        scene.clr_rects.v0x, scene.clr_rects.tail_min_x,
+        scene.clr_rects.min_x, scene.clr_rects.min_y,
+        scene.clr_rects.max_x, scene.clr_rects.max_y,
+    ]
+    n_clr_real = int(clr_m.sum())
+    clr_scal = np.zeros(CLR_UNROLL_MAX * 8, np.float32)
+    for c in range(min(n_clr_real, CLR_UNROLL_MAX)):
+        for j, col in enumerate(clr_cols):
+            clr_scal[c * 8 + j] = float(np.asarray(col)[c])
+
     return PackedScene(
         planes=jnp.asarray(planes),
         scalars=jnp.asarray(scalars),
@@ -196,6 +216,9 @@ def pack_scene(scene: Scene, cfg: SamplerConfig) -> PackedScene:
                 ]
             )
         ),
+        clr_scal=jnp.asarray(clr_scal),
+        n_clr_real=n_clr_real,
+        clr_anchors=tuple(int(v) for v in clr_anchor[:n_clr_real]),
         n=n,
     )
 
@@ -236,6 +259,7 @@ def _uniform(shape):
 def _fused_kernel(
     seed_ref,  # SMEM i32[1]
     scal_ref,  # SMEM f32[N_SCALARS]
+    clr_scal_ref,  # SMEM f32[CLR_UNROLL_MAX*8] (unrolled clearance params)
     pose_ref,  # VMEM f32[6, B, N] (aliased in/out)
     planes_ref,  # VMEM f32[N_PLANES, N]
     rel_s_ref, rel_t_ref, rel_p_ref,
@@ -251,6 +275,9 @@ def _fused_kernel(
     incremental: bool,
     moves_per_step: int = 1,
     adapt: bool = False,
+    clr_unroll: bool = False,
+    n_clr_real: int = 0,
+    clr_anchors: tuple = (),
 ):
     B = pose_ref.shape[1]
     pi = mode.pi
@@ -331,7 +358,7 @@ def _fused_kernel(
     # surface-area parity anchors (Kernel.cu:456 quirk): pose-independent
     # one-hot gather matrix, hoisted out of the per-iteration cost eval
     c_cnt_s = clr_p_ref.shape[0]
-    anc_oh = (
+    anc_oh = None if clr_unroll else (
         iota_n.reshape(1, n) == clr_p_ref[:, 7].reshape(c_cnt_s, 1)
     ).astype(jnp.float32)  # [C, N]
 
@@ -503,29 +530,69 @@ def _fused_kernel(
             else:
                 off = jnp.zeros((B, 1), jnp.float32)
 
-        # --- clearance (Kernel.cu:404-434): [B, C] anchors x [B, N] objs ---
-        c_cnt = clr_s_ref.shape[0]
-        cax = jax.lax.dot_general(  # [B, C] anchor translations
-            x, clr_s_ref[:, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        cay = jax.lax.dot_general(
-            y, clr_s_ref[:, :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        cv0 = clr_p_ref[:, 0].reshape(1, c_cnt)
-        ctl = clr_p_ref[:, 1].reshape(1, c_cnt)
-        cmn = clr_p_ref[:, 2].reshape(1, c_cnt)
-        cmy = clr_p_ref[:, 3].reshape(1, c_cnt)
-        cMx = clr_p_ref[:, 4].reshape(1, c_cnt)
-        cMy = clr_p_ref[:, 5].reshape(1, c_cnt)
-        cm = clr_p_ref[:, 6].reshape(1, c_cnt)
+        # --- clearance (Kernel.cu:404-434) ---------------------------------
         if 'clr' in _DEBUG_SKIP:
             clr_sum = jnp.zeros((B, 1), jnp.float32)
             sa_clr = jnp.zeros((B, 1), jnp.float32)
+        elif clr_unroll:
+            # few real clearances: unroll them as [B, N] plane math with
+            # params from SMEM — ~4x less VPU work than the 8-sublane-
+            # padded [B, C, N] tile when only 1-4 clearances are real
+            omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N]
+            clr_sum = jnp.zeros((B, 1), jnp.float32)
+            sa_clr = jnp.zeros((B, 1), jnp.float32)
+            for c in range(n_clr_real):
+                cv0 = clr_scal_ref[c * 8 + 0]
+                ctl = clr_scal_ref[c * 8 + 1]
+                cmn = clr_scal_ref[c * 8 + 2]
+                cmy = clr_scal_ref[c * 8 + 3]
+                cMx = clr_scal_ref[c * 8 + 4]
+                cMy = clr_scal_ref[c * 8 + 5]
+                src_row = clr_s_ref[c, :].reshape(1, n)  # one-hot [1, N]
+                cax = jnp.sum(src_row * x, axis=1, keepdims=True)  # [B,1]
+                cay = jnp.sum(src_row * y, axis=1, keepdims=True)
+                ar = inter_area(
+                    aabb_minx(cv0, ctl, cmn, cax), cmy + cay,
+                    cMx + cax, cMy + cay,
+                    omnx, omny, omxx, omxy,
+                )  # [B, N] broadcast clearance-vs-every-object
+                clr_sum = clr_sum - jnp.sum(
+                    ar * mask_row, axis=1, keepdims=True
+                )
+                # surface-area for this clearance rect: parity anchors by
+                # clearance index (Kernel.cu:456) — static here
+                if parity:
+                    anc_row = (
+                        iota_n == float(clr_anchors[c])
+                    ).astype(jnp.float32)  # [1, N] static one-hot
+                    pax = jnp.sum(anc_row * x, axis=1, keepdims=True)
+                    pay = jnp.sum(anc_row * y, axis=1, keepdims=True)
+                else:
+                    pax, pay = cax, cay
+                sa_clr = sa_clr - outside_area(
+                    aabb_minx(cv0, ctl, cmn, pax), cmy + pay,
+                    cMx + pax, cMy + pay,
+                )
         else:
+            # many clearances: [B, C] anchor gathers x one [B, C, N] tile
+            c_cnt = clr_s_ref.shape[0]
+            cax = jax.lax.dot_general(  # [B, C] anchor translations
+                x, clr_s_ref[:, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            cay = jax.lax.dot_general(
+                y, clr_s_ref[:, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            cv0 = clr_p_ref[:, 0].reshape(1, c_cnt)
+            ctl = clr_p_ref[:, 1].reshape(1, c_cnt)
+            cmn = clr_p_ref[:, 2].reshape(1, c_cnt)
+            cmy = clr_p_ref[:, 3].reshape(1, c_cnt)
+            cMx = clr_p_ref[:, 4].reshape(1, c_cnt)
+            cMy = clr_p_ref[:, 5].reshape(1, c_cnt)
+            cm = clr_p_ref[:, 6].reshape(1, c_cnt)
             # clearance AABBs as [B, C] planes, then one [B, C, N] area tile
             cmnx = aabb_minx(cv0, ctl, cmn, cax)  # [B, C]
             cmny = cmy + cay
@@ -547,12 +614,12 @@ def _fused_kernel(
                 pax = jax.lax.dot_general(
                     x, anc_oh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+                    precision=jax.lax.Precision.HIGHEST,
                 )  # [B, C]
                 pay = jax.lax.dot_general(
                     y, anc_oh, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
             else:
                 pax, pay = cax, cay
@@ -1127,6 +1194,9 @@ def _fused_runner(
     incremental: bool,
     moves_per_step: int,
     adapt: bool,
+    clr_unroll: bool,
+    n_clr_real: int,
+    clr_anchors: tuple,
     interpret: bool,
     vmem_bytes: int,
     rel_shape: tuple,
@@ -1148,18 +1218,21 @@ def _fused_runner(
         incremental=incremental,
         moves_per_step=moves_per_step,
         adapt=adapt,
+        clr_unroll=clr_unroll,
+        n_clr_real=n_clr_real,
+        clr_anchors=clr_anchors,
     )
     call = pl.pallas_call(
         kernel,
         interpret=interpret,
-        # pose planes alias in->out (index counts array args after the two
+        # pose planes alias in->out (operand index includes the three
         # scalar-prefetch operands): halves the double-buffered pose VMEM
-        input_output_aliases={2: 0},
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_bytes,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # seed + scalars in SMEM
+            num_scalar_prefetch=3,  # seed + scalars + clr params in SMEM
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -1194,12 +1267,13 @@ def _fused_runner(
     )
 
     @jax.jit
-    def runner(seed_arr, scalars, p0, planes, rs, rt, rp, a_s, a_t, a_p, cs, cp):
+    def runner(seed_arr, scalars, clr_scal, p0, planes, rs, rt, rp, a_s, a_t,
+               a_p, cs, cp):
         pose_planes = jnp.zeros((6, n_chains, n), jnp.float32)
         pose_planes = pose_planes.at[:, :, :n0].set(jnp.transpose(p0, (2, 0, 1)))
         pose_out, stats = call(
-            seed_arr, scalars, pose_planes, planes, rs, rt, rp, a_s, a_t, a_p,
-            cs, cp,
+            seed_arr, scalars, clr_scal, pose_planes, planes, rs, rt, rp,
+            a_s, a_t, a_p, cs, cp,
         )
         pose = jnp.transpose(pose_out[:, :, :n0], (1, 2, 0))  # [C, N0, 6]
         return (
@@ -1251,9 +1325,11 @@ def run_chains_fused(
     if n_chains % bc:
         raise ValueError(f"n_chains must be a multiple of {bc}")
 
+    clr_unroll = packed.n_clr_real <= CLR_UNROLL_MAX
     cache_key = (
         n, n0, n_chains, bc, iterations, cfg.mode, incremental,
         cfg.n_moves_per_step, cfg.adapt, interpret,
+        clr_unroll, packed.n_clr_real, packed.clr_anchors,
         packed.rel_src_oh.shape, packed.rel_params.shape,
         packed.ang_src_oh.shape, packed.ang_params.shape,
         packed.clr_src_oh.shape, packed.clr_params.shape,
@@ -1265,7 +1341,8 @@ def run_chains_fused(
             n=n, n0=n0, n_chains=n_chains, bc=bc, iterations=iterations,
             mode=cfg.mode, incremental=incremental,
             moves_per_step=cfg.n_moves_per_step, adapt=cfg.adapt,
-            interpret=interpret,
+            clr_unroll=clr_unroll, n_clr_real=packed.n_clr_real,
+            clr_anchors=packed.clr_anchors, interpret=interpret,
             vmem_bytes=cache_key[-1],
             rel_shape=packed.rel_src_oh.shape,
             relp_shape=packed.rel_params.shape,
@@ -1280,6 +1357,7 @@ def run_chains_fused(
     return runner(
         jnp.asarray([seed], jnp.int32),
         packed.scalars,
+        packed.clr_scal,
         p0,
         packed.planes,
         packed.rel_src_oh,

@@ -151,3 +151,35 @@ def test_fused_step_size_adaptation():
     assert rates.mean() > 0.65, rates
     assert scale.mean() < 0.9, scale
     assert np.all(scale > 0)
+
+
+@pytest.mark.parametrize("mode", [CostMode.PARITY, CostMode.FIXED])
+def test_fused_many_clearances_tile_path(mode):
+    """Scenes with more than CLR_UNROLL_MAX real clearances take the
+    [B, C, N] tile path; its breakdown must match the XLA evaluation just
+    like the unrolled path's (both are exercised across the suite)."""
+    import dataclasses
+
+    from mh_tpu.kernels.fused_mh import CLR_UNROLL_MAX, run_chains_fused
+
+    spec = demo_scene(16)
+    quad = np.array(
+        [[-0.6, -0.4], [0.6, -0.4], [0.6, 0.4], [-0.6, 0.4]], np.float32
+    )
+    extra = [(quad * (1.0 + 0.1 * i), i % 16) for i in range(CLR_UNROLL_MAX)]
+    spec = dataclasses.replace(
+        spec, clearances=list(spec.clearances) + extra
+    ) if dataclasses.is_dataclass(spec) else spec
+    assert len(spec.clearances) > CLR_UNROLL_MAX
+    scene = spec.build()
+    cfg = SamplerConfig(mode=mode)
+    pose, breakdown, n_acc, _ = run_chains_fused(
+        13, spec.initial_pose(), scene, cfg, 8, 40
+    )
+    pose = np.asarray(pose)
+    assert not np.isnan(pose).any()
+    for c in range(8):
+        ref = cost_terms(pose[c], scene, mode)
+        np.testing.assert_allclose(
+            float(breakdown[c, 0]), float(ref.total), rtol=2e-4, atol=2e-3
+        )
