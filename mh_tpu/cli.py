@@ -58,7 +58,9 @@ def cmd_suggest(args) -> int:
     from mh_tpu.utils.serialization import load_scene
 
     spec = load_scene(args.scene) if args.scene else demo_scene(args.objects)
-    res = suggest_layouts(spec, _sampler_config(args), key=args.seed)
+    res = suggest_layouts(
+        spec, _sampler_config(args), key=args.seed, engine=args.engine
+    )
     out = {
         "points": np.asarray(res.points, np.float64).tolist(),
         "costs": {
@@ -176,6 +178,11 @@ def main(argv=None) -> int:
     p.add_argument("--scene", help="scene JSON (default: built-in demo scene)")
     p.add_argument("--objects", type=int, default=32)
     p.add_argument("--out", help="write results JSON here")
+    p.add_argument(
+        "--engine", default="auto",
+        choices=["auto", "xla", "xla_specialized", "fused"],
+        help="sampling engine (see suggest_layouts)",
+    )
     _add_sampler_flags(p)
     p.set_defaults(fn=cmd_suggest)
 
