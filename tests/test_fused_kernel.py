@@ -183,3 +183,33 @@ def test_fused_many_clearances_tile_path(mode):
         np.testing.assert_allclose(
             float(breakdown[c, 0]), float(ref.total), rtol=2e-4, atol=2e-3
         )
+
+
+def test_fused_posterior_statistics_match_xla():
+    """BASELINE correctness gate, fused edition: the fused kernel samples
+    the same stationary law as the XLA engine (different random streams,
+    same distributions) — population mean/spread of the total cost and the
+    acceptance rate must agree within Monte-Carlo error after burn-in."""
+    from mh_tpu.kernels.fused_mh import run_chains_fused
+    from mh_tpu.sampler.mh import run_chains
+
+    spec = demo_scene(16)
+    scene = spec.build()
+    m, iters = 64, 1500
+    cfg = SamplerConfig(iterations=iters, n_chains=m)
+    _, bd, n_acc, _ = run_chains_fused(
+        17, spec.initial_pose(), scene, cfg, m, iters
+    )
+    fused_tot = np.asarray(bd[:, 0], np.float64)
+    fused_rate = float(np.asarray(n_acc).mean()) / iters
+
+    st, _ = run_chains(jax.random.key(17), spec.initial_pose(), scene, cfg)
+    xla_tot = np.asarray(st.costs.total, np.float64)
+    xla_rate = float(np.asarray(st.accept_rate).mean())
+
+    sem = np.sqrt(fused_tot.var() / m + xla_tot.var() / m)
+    assert abs(fused_tot.mean() - xla_tot.mean()) < 5.0 * sem + 1e-3, (
+        fused_tot.mean(), xla_tot.mean(), sem
+    )
+    assert 0.6 < (fused_tot.std() + 1e-9) / (xla_tot.std() + 1e-9) < 1.6
+    assert abs(fused_rate - xla_rate) < 0.08, (fused_rate, xla_rate)
