@@ -232,7 +232,7 @@ def bench_collective(n_objs: int, n_chains: int) -> dict:
     rates = run(12)
     per_step = _per_step_interleaved(run, 2, 12, repeats=4) / 10.0
     return {
-        "proposals_per_s": n_moves * n_chains / per_step,
+        "proposals_per_s": n_chains / per_step,
         "final_accept_rate": float(np.asarray(rates)[-1]),
     }
 
@@ -265,9 +265,8 @@ def bench_tempering_smc(n_objs: int = 32, n_replicas: int = 64) -> dict:
         np.asarray(states.pose)
         return swaps
 
-    run_t(4)
     swaps = np.asarray(run_t(24))
-    per_step = _per_step_interleaved(run_t, 4, 24, repeats=3) / 5.0
+    per_step = _per_step_linfit(run_t, (4, 14, 24), repeats=5) / 5.0
 
     def run_s():
         states, diag = run_smc(
