@@ -49,15 +49,16 @@ def block_chains(n: int) -> int:
     All cost terms are chain-vectorized 3-D tiles, so larger blocks
     amortize per-iteration bookkeeping until the O(B*n) VMEM temps bind.
     Linearity-fit slopes at 1024 chains on v5e (2026-08-19, post
-    clearance-unroll): n=128 — B=16: 0.200, B=32: 0.161, B=64: 0.107
-    ms/step (B=128 needs MH_FUSED_VMEM=64M for little gain); n=256 —
-    B=64: 0.155 beats B=32: 0.172 at the default VMEM limit. Larger
-    scenes halve the block to keep the O(B*N^2/8) slab state resident.
-    ``MH_FUSED_BLOCK`` overrides.
+    clearance-unroll): n=128 — B=32: 0.161, B=64: 0.107, B=128: 0.102
+    ms/step (all at the default VMEM limit); n=256 — B=64: 0.155 beats
+    B=32: 0.172. Larger scenes halve the block to keep the O(B*N^2/8)
+    slab state resident. ``MH_FUSED_BLOCK`` overrides.
     """
     env = os.environ.get("MH_FUSED_BLOCK", "")
     if env:
         return int(env)
+    if n <= 128:
+        return 128
     if n <= 256:
         return 64
     return max(8, 8192 // n)
