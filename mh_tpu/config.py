@@ -73,6 +73,15 @@ class SamplerConfig:
     iterations: int = 100
     n_chains: int = 1
     n_moves_per_step: int = 1
+    # Accept-rule emulation of the reference's blockxDim>1 default: each of
+    # the reference's 64 threads draws an INDEPENDENT accept decision on the
+    # shared compound candidate (``Kernel.cu:819``), so the effective
+    # acceptance of the compound proposal is 1-(1-p)^K. ``accept_draws=K``
+    # reproduces that marginal exactly and deterministically: accept iff
+    # min of K uniforms < ratio. 1 == one draw per proposal (the clean
+    # semantics). For reference-default behavior set both
+    # ``n_moves_per_step`` and ``accept_draws`` to blockxDim.
+    accept_draws: int = 1
     beta: float = REF_BETA
     sigma_t: float = REF_SIGMA_T
     # Translation std = extent/16 (Kernel.cu:590-591); override if >0.
@@ -86,3 +95,5 @@ class SamplerConfig:
     def __post_init__(self) -> None:
         if self.iterations < 0 or self.n_chains < 1 or self.n_moves_per_step < 1:
             raise ValueError(f"invalid sampler config: {self}")
+        if self.accept_draws < 1:
+            raise ValueError(f"accept_draws must be >= 1: {self}")

@@ -283,6 +283,7 @@ def _fused_kernel(
     clr_unroll: bool = False,
     n_clr_real: int = 0,
     clr_anchors: tuple = (),
+    accept_draws: int = 1,
 ):
     B = pose_ref.shape[1]
     pi = mode.pi
@@ -879,8 +880,15 @@ def _fused_kernel(
             x = x_s[:, :]
             y = y_s[:, :]
             rot = rot_s[:, :]
-            us0 = _uniform((B, LANE))  # dedicated accept draw
-            u_acc = us0[:, 1:2]
+            us0 = _uniform((B, LANE))  # dedicated accept draw(s)
+            if accept_draws == 1:
+                u_acc = us0[:, 1:2]
+            else:
+                # K independent accept draws (Kernel.cu:819 emulation):
+                # accept iff min of K uniforms < ratio
+                u_acc = jnp.min(
+                    us0[:, 1 : 1 + accept_draws], axis=1, keepdims=True
+                )
             gate = jnp.where(has_unfrozen, 1.0, 0.0)
             two_pi = 2.0 * math.pi
             ok_row = okv.reshape(1, n)
@@ -1010,7 +1018,14 @@ def _fused_kernel(
                 us = _uniform((B, LANE))
 
             move = jnp.minimum((us[:, 0:1] * 3.0).astype(jnp.int32), 2)  # [B,1]
-            u_acc = us[:, 1:2]
+            if accept_draws == 1:
+                u_acc = us[:, 1:2]
+            else:
+                # lanes 8..8+K are untouched by the proposal (lanes 0-7
+                # drive it), so the K accept draws stay independent of it
+                u_acc = jnp.min(
+                    us[:, 8 : 8 + accept_draws], axis=1, keepdims=True
+                )
             scale_b = jnp.exp(cur_s[:, 2:3]) if adapt else scale
             r1 = jnp.sqrt(-2.0 * jnp.log(us[:, 2:3]))
             r2 = jnp.sqrt(-2.0 * jnp.log(us[:, 4:5]))
@@ -1199,6 +1214,7 @@ def _fused_runner(
     incremental: bool,
     moves_per_step: int,
     adapt: bool,
+    accept_draws: int,
     clr_unroll: bool,
     n_clr_real: int,
     clr_anchors: tuple,
@@ -1223,6 +1239,7 @@ def _fused_runner(
         incremental=incremental,
         moves_per_step=moves_per_step,
         adapt=adapt,
+        accept_draws=accept_draws,
         clr_unroll=clr_unroll,
         n_clr_real=n_clr_real,
         clr_anchors=clr_anchors,
@@ -1330,10 +1347,15 @@ def run_chains_fused(
     if n_chains % bc:
         raise ValueError(f"n_chains must be a multiple of {bc}")
 
+    if not (1 <= cfg.accept_draws <= 120):
+        raise ValueError(
+            f"fused kernel supports accept_draws in [1, 120], got "
+            f"{cfg.accept_draws}"
+        )
     clr_unroll = packed.n_clr_real <= CLR_UNROLL_MAX
     cache_key = (
         n, n0, n_chains, bc, iterations, cfg.mode, incremental,
-        cfg.n_moves_per_step, cfg.adapt, interpret,
+        cfg.n_moves_per_step, cfg.adapt, cfg.accept_draws, interpret,
         clr_unroll, packed.n_clr_real, packed.clr_anchors,
         packed.rel_src_oh.shape, packed.rel_params.shape,
         packed.ang_src_oh.shape, packed.ang_params.shape,
@@ -1346,6 +1368,7 @@ def run_chains_fused(
             n=n, n0=n0, n_chains=n_chains, bc=bc, iterations=iterations,
             mode=cfg.mode, incremental=incremental,
             moves_per_step=cfg.n_moves_per_step, adapt=cfg.adapt,
+            accept_draws=cfg.accept_draws,
             clr_unroll=clr_unroll, n_clr_real=packed.n_clr_real,
             clr_anchors=packed.clr_anchors, interpret=interpret,
             vmem_bytes=cache_key[-1],

@@ -47,6 +47,7 @@ SURFACE_DT = np.dtype(
 CONFIG_DT = np.dtype(
     [
         ("n_chains", "<i8"), ("iterations", "<i8"), ("moves_per_step", "<i8"),
+        ("accept_draws", "<i8"),
         ("parity_mode", "<i8"), ("seed", "<i8"), ("beta", "<f8"),
     ]
 )
@@ -106,6 +107,7 @@ def run_wire(surface_b, rels_b, angs_b, poses_b, clr_b, off_b, cfg_b) -> bytes:
         iterations=int(cfg["iterations"]),
         n_chains=int(cfg["n_chains"]),
         n_moves_per_step=max(int(cfg["moves_per_step"]), 1),
+        accept_draws=max(int(cfg["accept_draws"]), 1),
         beta=float(cfg["beta"]) if float(cfg["beta"]) > 0 else REF_BETA,
         mode=CostMode.PARITY if int(cfg["parity_mode"]) else CostMode.FIXED,
     )

@@ -68,7 +68,7 @@ int main(void) {
   set_quad(clearances[1].quad, 2, 2, 1, 0);
   clearances[1].source_index = 1;
 
-  mh_config cfg = {CHAINS, ITERS, 1, 1, 0, 0.0};
+  mh_config cfg = {CHAINS, ITERS, 1, 1, 1, 0, 0.0};
 
   double* out_points = malloc(sizeof(double) * CHAINS * N * 6);
   mh_result_costs* out_costs = malloc(sizeof(mh_result_costs) * CHAINS);

@@ -61,9 +61,15 @@ typedef struct {
 } mh_surface;
 
 /* gpuConfig (Kernel.cu:119-127): grid dim -> n_chains (suggestions),
- * block dim -> moves per step, plus sampler knobs. */
+ * block dim -> moves per step, plus sampler knobs.
+ * accept_draws: number of independent accept decisions per compound
+ * proposal (accept iff min of K uniforms < ratio) — the deterministic
+ * emulation of the reference's blockxDim per-thread divergent Accept
+ * (Kernel.cu:819). 0 or 1 = one draw (clean semantics); set equal to
+ * moves_per_step for reference-default behavior. */
 typedef struct {
   int64_t n_chains, iterations, moves_per_step;
+  int64_t accept_draws;
   int64_t parity_mode; /* 1 = reference parity, 0 = fixed semantics */
   int64_t seed;
   double beta; /* <= 0 selects the reference BETA = 2.0 */

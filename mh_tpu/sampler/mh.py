@@ -109,7 +109,19 @@ def mh_step(
     star_costs = cost_terms(star, scene, cfg.mode, skip_unused_offlimits=True)
     b = cfg.beta if beta is None else beta
     ratio = jnp.exp(jnp.minimum(b * (star_costs.total - state.costs.total), 0.0))
-    acc = u[0, 1] < ratio
+    if cfg.accept_draws == 1:
+        u_acc = u[0, 1]
+    else:
+        # K independent accept draws on one shared candidate: accept iff
+        # ANY accepts == min of K uniforms < ratio. Deterministic, race-free
+        # emulation of the reference's per-thread divergent Accept
+        # (``Kernel.cu:819``; effective acceptance 1-(1-p)^K).
+        u_acc = jnp.min(
+            jax.random.uniform(
+                jax.random.fold_in(key_step, 1), (cfg.accept_draws,)
+            )
+        )
+    acc = u_acc < ratio
 
     pose = jnp.where(acc, star, state.pose)
     costs = jax.tree.map(lambda s, c: jnp.where(acc, s, c), star_costs, state.costs)

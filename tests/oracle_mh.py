@@ -58,6 +58,7 @@ def run_chain(
     beta: float = 2.0,
     collect_poses: bool = False,
     moves_per_step: int = 1,
+    accept_draws: int = 1,
 ):
     """f64[n_steps] trace of accepted total costs (parity mode).
 
@@ -65,6 +66,11 @@ def run_chain(
     ``moves_per_step`` composes K single-object moves into one compound
     proposal before the accept decision — the deterministic reading of the
     reference's blockDim-threads-per-iteration scheme (``Kernel.cu:798``).
+    ``accept_draws`` emulates the reference's per-thread divergent accept
+    (``Kernel.cu:819``): each of blockxDim threads draws an independent
+    accept decision on the shared candidate, so the compound proposal is
+    accepted with probability 1-(1-p)^K — equivalently, iff the min of K
+    uniforms is below the ratio.
     """
     rng = np.random.default_rng(seed)
     pose = np.asarray(spec.positions, np.float64).copy()
@@ -76,7 +82,8 @@ def run_chain(
         for _ in range(moves_per_step - 1):
             star = propose(rng, star, spec)
         s = oracle.breakdown(spec, star, parity=True)["total"]
-        if rng.random() < min(1.0, math.exp(min(beta * (s - cur), 0.0))):
+        u = rng.random(accept_draws).min()
+        if u < min(1.0, math.exp(min(beta * (s - cur), 0.0))):
             pose, cur = star, s
         trace[t] = cur
         if collect_poses:

@@ -213,3 +213,23 @@ def test_fused_posterior_statistics_match_xla():
     )
     assert 0.6 < (fused_tot.std() + 1e-9) / (xla_tot.std() + 1e-9) < 1.6
     assert abs(fused_rate - xla_rate) < 0.08, (fused_rate, xla_rate)
+
+
+@pytest.mark.parametrize("moves", [1, 4])
+def test_fused_accept_draws_lifts_acceptance(moves):
+    """``accept_draws=K`` (the ``Kernel.cu:819`` per-thread-accept emulation)
+    must lift the realized acceptance toward 1-(1-p)^K in both iteration
+    bodies (single-move ``iter_body`` and compound ``iter_body_multi``)."""
+    from mh_tpu.kernels.fused_mh import run_chains_fused
+
+    spec = demo_scene(32)
+    scene = spec.build()
+    iters = 300
+    cfg1 = SamplerConfig(n_moves_per_step=moves)
+    cfgK = SamplerConfig(n_moves_per_step=moves, accept_draws=16)
+    _, _, acc1, _ = run_chains_fused(5, spec.initial_pose(), scene, cfg1, 8, iters)
+    _, _, accK, _ = run_chains_fused(5, spec.initial_pose(), scene, cfgK, 8, iters)
+    r1 = float(np.asarray(acc1).mean()) / iters
+    rK = float(np.asarray(accK).mean()) / iters
+    assert rK > r1 + 0.1, (r1, rK)
+    assert rK <= 1.0

@@ -41,3 +41,29 @@ def test_native_abi_smoke():
     assert run.returncode == 0, f"stdout={run.stdout[-800:]}\nstderr={run.stderr[-800:]}"
     assert "native ABI smoke test OK" in run.stdout
     assert "costs: total=" in run.stdout
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+def test_reference_abi_drop_in():
+    """The exported ``KernelWrapper`` with the reference's EXACT struct
+    layouts (Kernel.cu:43-149,873): a C host filling the demo scene exactly
+    as ``main()`` does (Kernel.cu:1003-1194) gets layouts + real costs back
+    through the reference-shaped structs. Layout pins are _Static_asserts
+    in test_ref_compat.c."""
+    build = subprocess.run(
+        ["make", "-s"], cwd=NATIVE, capture_output=True, text=True, timeout=300
+    )
+    if build.returncode != 0:
+        pytest.skip(f"native build unavailable: {build.stderr[-500:]}")
+
+    import os
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    run = subprocess.run(
+        ["./test_ref_compat"], cwd=NATIVE, capture_output=True, text=True,
+        timeout=600, env=env,
+    )
+    assert run.returncode == 0, f"stdout={run.stdout[-800:]}\nstderr={run.stderr[-800:]}"
+    assert "reference-ABI drop-in test OK" in run.stdout

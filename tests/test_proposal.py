@@ -124,3 +124,56 @@ def test_rank_pick_exact_uniform_and_edges():
     ok_f, rank_f, n_unf_f = P._unfrozen_ranks(scene_f)
     sel_f = np.asarray(P._rank_pick(jnp.float32(0.5), ok_f, rank_f, n_unf_f))
     assert sel_f.sum() == 0
+
+
+def _ref_int_in_range(u: np.ndarray, hi: int, lo: int) -> np.ndarray:
+    """The reference's u -> int mapping (``generateRandomIntInRange``,
+    ``Kernel.cu:566-574``): p = u*(max-min+0.999999)+min, truncated.
+    ``curand_uniform`` draws u in (0, 1]."""
+    p = u.astype(np.float32) * np.float32(hi - lo + 0.999999) + np.float32(lo)
+    return np.trunc(p).astype(np.int64)
+
+
+def test_move_type_and_object_pick_distribution_equivalence():
+    """Pin the claimed distribution equivalence of the u -> int mappings.
+
+    The reference draws move types via ``generateRandomIntInRange(st, 2, 0)``
+    (``Kernel.cu:582``) and object picks via ``(st, nObjs-1, 0)``
+    (``Kernel.cu:598``); our engines use ``min(floor(u*3), 2)`` for the move
+    type and the rank-pick ``min(floor(u*n_unf), n_unf-1)`` for objects.
+    Both pairs must induce the same distribution up to the reference's
+    ~1e-7 truncation-constant bias (0.999999 instead of 1).
+    """
+    # analytic total-variation distance of the reference move-type mapping
+    # from exact uniform thirds: the cell boundaries sit at k/2.999999
+    # instead of k/3, so |P(k) - 1/3| <= |1/2.999999 - 1/3| ~ 3.7e-8
+    cells = np.diff(np.concatenate([[0.0], np.arange(1, 3) / 2.999999, [1.0]]))
+    tvd_move = 0.5 * np.abs(cells - 1.0 / 3.0).sum()
+    assert tvd_move < 5e-7, tvd_move
+
+    # object pick over n objects: boundaries at k/(n-0.000001) vs k/n
+    for n in (10, 100):
+        bounds = np.concatenate([[0.0], np.arange(1, n) / (n - 1 + 0.999999), [1.0]])
+        cells = np.diff(bounds)
+        tvd_pick = 0.5 * np.abs(cells - 1.0 / n).sum()
+        assert tvd_pick < 2e-6, (n, tvd_pick)
+
+    # empirical agreement on one dense, shared u grid (grid midpoints so no
+    # draw lands exactly on a cell boundary of either mapping)
+    grid = 3_000_000
+    u = (np.arange(grid, dtype=np.float64) + 0.5) / grid
+    ref_moves = _ref_int_in_range(u, 2, 0)
+    ours_moves = np.minimum(np.floor(u * 3.0).astype(np.int64), 2)
+    ref_c = np.bincount(ref_moves, minlength=3) / grid
+    our_c = np.bincount(ours_moves, minlength=3) / grid
+    assert 0.5 * np.abs(ref_c - our_c).sum() < 1e-6, (ref_c, our_c)
+
+    n = 100
+    ref_picks = _ref_int_in_range(u, n - 1, 0)
+    ours_picks = np.minimum(np.floor(u * n), n - 1).astype(np.int64)
+    ref_c = np.bincount(ref_picks, minlength=n) / grid
+    our_c = np.bincount(ours_picks, minlength=n) / grid
+    assert ref_picks.min() == 0 and ref_picks.max() == n - 1
+    assert 0.5 * np.abs(ref_c - our_c).sum() < 2e-5, (
+        0.5 * np.abs(ref_c - our_c).sum()
+    )
