@@ -285,35 +285,6 @@ def bench_tempering_smc(n_objs: int = 32, n_replicas: int = 64) -> dict:
     }
 
 
-def fused_best_of(n_objs: int, n_chains: int, extra_procs: int = 2) -> dict:
-    """Fused-kernel throughput, best over this process + fresh subprocesses.
-
-    The fused kernel's steady-state rate is bimodal PER PROCESS on the axon
-    tunnel (the same cached executable measures 0.055 vs 0.127 ms/step in
-    different processes while the XLA program stays ~0.09 in both —
-    docs/PERFORMANCE.md). The XLA path needs no retry; for the fused path,
-    re-measuring in a fresh process resamples the fast mode. Compiles are
-    cached, so each retry costs only dispatch time.
-    """
-    import subprocess  # noqa: PLC0415
-
-    best = bench_fused(n_objs, n_chains)
-    for _ in range(extra_procs):
-        try:
-            out = subprocess.run(
-                [sys.executable, __file__, "--fused-probe",
-                 "--objects", str(n_objs), "--chains", str(n_chains)],
-                capture_output=True, text=True, timeout=900, check=False,
-            )
-            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-            probe = json.loads(line)
-            if probe["proposals_per_s"] > best["proposals_per_s"]:
-                best = probe
-        except Exception as e:  # noqa: BLE001 — probe failures are non-fatal
-            print(f"# fused probe retry failed: {e}", file=sys.stderr)
-    return best
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="run all BASELINE configs")
@@ -355,9 +326,11 @@ def main() -> None:
     if platform in ("tpu", "axon"):
         # The production API's auto engine picks the faster of the XLA scan
         # and the fused Pallas kernel per scene, so the headline is the
-        # better of the two. (This also damps the tunnel's ~25% run-to-run
-        # spread, which affects the two programs independently.)
-        fused = fused_best_of(args.objects, args.chains)
+        # better of the two — both measured with the SAME single-process
+        # 3-length linearity fit (no subprocess best-of: taking a max over
+        # processes selects favorable measurement noise, the exact failure
+        # mode the round-1 methodology post-mortem documents).
+        fused = bench_fused(args.objects, args.chains)
         print(f"# config3/4 headline (fused kernel): {json.dumps(fused)}", file=sys.stderr)
         if fused["proposals_per_s"] > head["proposals_per_s"]:
             head = dict(head, **fused)

@@ -55,6 +55,7 @@ def suggest_layouts(
     pose0: Array | None = None,
     engine: str = "auto",
     mesh=None,
+    serve: bool = False,
 ) -> LayoutResult:
     """Run ``cfg.n_chains`` MH chains and return their final layouts.
 
@@ -64,10 +65,14 @@ def suggest_layouts(
 
     ``engine``:
 
-    - ``"auto"`` (default): the Pallas fused kernel on TPU for scenes
-      past one object tile (its incremental-symmetry update is O(N) per
-      step vs the scan's O(N^2): 2.4x faster than the scan at 256
-      objects, 1.3x at 128, slower below), the XLA scan otherwise.
+    - ``"auto"`` (default): picks per scene from measured crossovers —
+      the Pallas fused kernel on TPU above ~104 padded objects (its
+      incremental-symmetry update is O(N) per step vs the scan's
+      O(N^2)), the generic XLA scan otherwise. With ``serve=True``
+      (the scene will be sampled repeatedly, so a per-scene compile
+      amortizes) auto instead serves ``xla_specialized`` up to ~160
+      padded objects — the fastest engine in that regime — and the
+      fused kernel beyond.
     - ``"xla"``: the fused-by-XLA ``lax.scan`` (any backend).
     - ``"xla_specialized"``: the XLA scan compiled with the scene embedded
       as constants — ~20% faster steady-state, one fresh compile per
@@ -96,23 +101,27 @@ def suggest_layouts(
     # and per-chain Robbins-Monro step-size adaptation in-kernel
     if engine == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        # crossover from linearity-fit slopes (2026-08-19, v5e, 1024
-        # chains) against the engine auto actually uses (the unspecialized
-        # run_chains scan): XLA 0.117 ms/step at 100 objs vs fused 0.147,
-        # XLA 0.191 at 128 vs fused 0.147, XLA 0.565 at 256 vs fused
-        # 0.233 — fused wins from the second object tile up. (The
-        # xla_specialized engine stays faster until ~165 padded objects:
-        # 0.083 at 100; pick it explicitly for fixed production scenes.)
-        big_scene = scene.n_pad_objs > 104
+        # Two measured crossovers (linearity-fit slopes, 2026-08-19, v5e,
+        # 1024 chains; docs/API.md "Engine crossover" table):
+        #  - vs the UNSPECIALIZED run_chains scan (what auto uses for
+        #    one-shot calls): fused wins above ~104 padded objects
+        #    (XLA 0.117 ms/step at 100 objs vs fused 0.147; XLA 0.191 at
+        #    128 vs fused 0.147; XLA 0.565 at 256 vs fused 0.233).
+        #  - vs the SPECIALIZED scan (scene baked in as constants; one
+        #    fresh compile per scene): specialized stays faster until ~165
+        #    padded objects (0.083 at 100 objs). ``serve=True`` declares
+        #    the scene will be sampled repeatedly, making the per-scene
+        #    compile worth it — auto then serves xla_specialized in the
+        #    <=160-object regime instead of the slower generic scan.
         chains_fit = cfg.n_chains % 8 == 0
-        engine = (
-            "fused"
-            if (
-                on_tpu and big_scene and chains_fit
-                and mesh is None and jax.device_count() == 1
-            )
-            else "xla"
-        )
+        single_dev = mesh is None and jax.device_count() == 1
+        fused_ok = on_tpu and chains_fit and single_dev
+        if serve and single_dev and scene.n_pad_objs <= 160:
+            engine = "xla_specialized"
+        elif fused_ok and scene.n_pad_objs > (160 if serve else 104):
+            engine = "fused"
+        else:
+            engine = "xla"
 
     if engine == "fused":
         if mesh is not None:

@@ -517,7 +517,7 @@ def _fused_kernel(
             best = jnp.maximum(jnp.max(val, axis=2), 0.0)  # [B, N]
             sym = -jnp.sum(best * mask_row, axis=1, keepdims=True)
 
-        if 'sym' in _DEBUG_SKIP:
+        if 'off' in _DEBUG_SKIP:
             off = jnp.zeros((B, 1), jnp.float32)
         else:
             if with_offlimits:
@@ -1161,7 +1161,9 @@ def _fused_kernel(
             total, terms = costs_of(xf, yf, rotf, False)
             sym_w = terms[3]
         pair_w, vb_w, fp_w, _sym0, clr_w, off_w, sa_w = terms
-        if report_offlimits and 'sym' not in _DEBUG_SKIP:
+        # the final OffLimits report ablates under its own flag ('off'),
+        # not the symmetry skip flag (round-1 copy-paste fix)
+        if report_offlimits and 'off' not in _DEBUG_SKIP:
             off_w = w_ol * off_limits_chunked(xf, yf)
             if not parity:
                 total = total + off_w

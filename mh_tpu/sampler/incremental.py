@@ -188,7 +188,7 @@ def inc_step(
     w = n // n_groups
     key_step = jax.random.fold_in(state.key, state.step)
     k_prop, k_acc = jax.random.split(key_step)
-    u = jax.random.uniform(k_prop, (uniforms_per_move(n),))
+    u = jax.random.uniform(k_prop, (uniforms_per_move(),))
     star, k1, k2 = _propose_with_info(u, state.pose, scene, cfg)
 
     # --- delta-update the symmetry matrix for the candidate ---------------

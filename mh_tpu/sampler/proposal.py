@@ -126,9 +126,14 @@ def _apply_move(
     return pose + jnp.where(can_swap, 1.0, 0.0) * swap_delta
 
 
-def uniforms_per_move(n_pad_objs: int) -> int:
-    """Length of the uniform plane one move consumes (see propose_from_uniforms)."""
-    return 8
+UNIFORMS_PER_MOVE = 8
+
+
+def uniforms_per_move() -> int:
+    """Length of the uniform plane one move consumes (see
+    ``propose_from_uniforms``): independent of the object count since the
+    rank-pick needs one uniform per object draw."""
+    return UNIFORMS_PER_MOVE
 
 
 def propose_from_uniforms(
@@ -171,7 +176,7 @@ def propose(
     key: Array, pose: Array, scene: Scene, cfg: SamplerConfig, scale: Array
 ) -> Array:
     """One single-object move, type uniform over {0,1,2} (``Kernel.cu:582``)."""
-    u = jax.random.uniform(key, (uniforms_per_move(scene.n_pad_objs),))
+    u = jax.random.uniform(key, (uniforms_per_move(),))
     return propose_from_uniforms(u, pose, scene, cfg, scale)
 
 
@@ -236,6 +241,6 @@ def block_propose(
 ) -> Array:
     """``block_propose_from_uniforms`` drawing its own uniform sweep."""
     u = jax.random.uniform(
-        key, (cfg.n_moves_per_step, uniforms_per_move(scene.n_pad_objs))
+        key, (cfg.n_moves_per_step, uniforms_per_move())
     )
     return block_propose_from_uniforms(u, pose, scene, cfg, scale)
