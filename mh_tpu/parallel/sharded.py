@@ -72,6 +72,42 @@ def run_chains_sharded(
     return sharded(scene, pose0)
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def continue_chains_sharded(
+    states: MHState,
+    scene: Scene,
+    cfg: SamplerConfig,
+    mesh: Mesh,
+) -> MHState:
+    """Continue mesh-sharded chains from an existing (sharded) state.
+
+    The resume half of distributed checkpoint/resume: each device advances
+    its local chains ``cfg.iterations`` steps from the restored state.
+    Bitwise-identical to an uninterrupted :func:`run_chains_sharded` run of
+    the combined length (per-step keys fold from carried state).
+    """
+
+    def device_fn(states_l: MHState, scene_rep: Scene) -> MHState:
+        states_l, scene_rep = _varying((states_l, scene_rep))
+
+        def one_chain(s):
+            def body(ss, _):
+                return mh_step(ss, scene_rep, cfg), None
+
+            s, _ = jax.lax.scan(body, s, None, length=cfg.iterations)
+            return finalize_costs(s, scene_rep, cfg)
+
+        return jax.vmap(one_chain)(states_l)
+
+    sharded = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(CHAINS_AXIS), P()),
+        out_specs=P(CHAINS_AXIS),
+    )
+    return sharded(states, scene)
+
+
 @partial(jax.jit, static_argnames=("cfg", "mesh", "rounds", "steps_per_round"))
 def run_chains_collective(
     key: Array,

@@ -236,6 +236,27 @@ def run_chains(
     )(keys, pose0)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def continue_chains(states: MHState, scene: Scene, cfg: SamplerConfig) -> MHState:
+    """Continue vmapped chains from an existing state for ``cfg.iterations``
+    more steps — the resume half of checkpoint/resume (SURVEY.md §5).
+
+    Bitwise-identical to an uninterrupted run: the per-step key is folded
+    from ``(state.key, state.step)``, both carried in the state, so a
+    restored chain consumes exactly the random stream the interrupted one
+    would have.
+    """
+
+    def one(s):
+        def body(ss, _):
+            return mh_step(ss, scene, cfg), None
+
+        s, _ = jax.lax.scan(body, s, None, length=cfg.iterations)
+        return finalize_costs(s, scene, cfg)
+
+    return jax.vmap(one)(states)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class StreamingMoments:

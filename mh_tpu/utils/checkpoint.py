@@ -81,3 +81,54 @@ def restore_state(path: str, template):
             treedef, [jnp.asarray(data[f]) for f in data.files]
         )
     return _decode(restored)
+
+
+# --- distributed (per-process shard) checkpointing ---------------------------
+#
+# The pod recovery pattern: every process saves only the rows of the
+# globally-sharded state its local devices own; on restart, each process
+# loads its own shard file and the shards are re-assembled into global
+# arrays over the (new) mesh. No cross-process traffic at save or restore.
+
+
+def _local_rows(leaf):
+    """Locally-addressable rows of a (possibly sharded) array, in order."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        shards = sorted(
+            leaf.addressable_shards,
+            key=lambda s: (s.index[0].start or 0) if s.index else 0,
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(leaf)
+
+
+def save_local_shards(path: str, state) -> None:
+    """Save this process's shard of a chains-sharded state PyTree."""
+    enc = _encode(state)
+    leaves, _ = jax.tree.flatten(enc)
+    np.savez(
+        f"{os.path.abspath(path)}.proc{jax.process_index()}.npz",
+        *[_local_rows(l) for l in leaves],
+    )
+
+
+def restore_local_shards(path: str, template, mesh, spec):
+    """Restore a state saved by :func:`save_local_shards` onto ``mesh``.
+
+    ``template`` gives the PyTree structure (local shapes); ``spec`` is the
+    ``PartitionSpec`` of every leaf (the chains axis). Each process reads
+    only its own file; leaves are reassembled into global arrays with
+    ``host_local_array_to_global_array``.
+    """
+    from jax.experimental import multihost_utils
+
+    data = np.load(f"{os.path.abspath(path)}.proc{jax.process_index()}.npz")
+    enc_template = _encode(template)
+    leaves, treedef = jax.tree.flatten(enc_template)
+    restored = [
+        multihost_utils.host_local_array_to_global_array(
+            data[f], mesh, spec
+        )
+        for f in data.files
+    ]
+    return _decode(jax.tree.unflatten(treedef, restored))
