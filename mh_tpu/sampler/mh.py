@@ -90,12 +90,16 @@ def finalize_costs(state: MHState, scene: Scene, cfg: SamplerConfig) -> MHState:
 
 
 def mh_step(
-    state: MHState, scene: Scene, cfg: SamplerConfig, beta: Array | None = None
+    state: MHState, scene: Scene, cfg: SamplerConfig, beta: Array | None = None,
+    cost_fn=None,
 ) -> MHState:
     """One MH iteration: propose -> cost -> accept (``Kernel.cu:785-828``).
 
     ``beta`` optionally overrides ``cfg.beta`` with a traced value — used by
     parallel tempering where each replica samples at its own temperature.
+    ``cost_fn`` optionally replaces the objective evaluation
+    (``pose -> CostBreakdown``) — used by the object-axis-sharded runner,
+    whose quadratic terms are row-sliced over a mesh axis and psum-reduced.
     """
     # ONE threefry sweep per step covers the whole move block AND the
     # accept draw (u[0, 1] is the reserved accept slot — see
@@ -106,7 +110,10 @@ def mh_step(
     )
     scale = jnp.exp(state.log_scale)
     star = block_propose_from_uniforms(u, state.pose, scene, cfg, scale)
-    star_costs = cost_terms(star, scene, cfg.mode, skip_unused_offlimits=True)
+    if cost_fn is None:
+        star_costs = cost_terms(star, scene, cfg.mode, skip_unused_offlimits=True)
+    else:
+        star_costs = cost_fn(star)
     b = cfg.beta if beta is None else beta
     ratio = jnp.exp(jnp.minimum(b * (star_costs.total - state.costs.total), 0.0))
     if cfg.accept_draws == 1:
