@@ -82,11 +82,12 @@ def suggest_layouts(
       statistically equivalent but different random stream).
 
     ``mesh``: a ``jax.sharding.Mesh`` with a chains axis to shard the
-    chains over (XLA engine only). Defaults to the ambient mesh over all
-    visible devices whenever more than one device is present and
+    chains over (XLA scan or fused engine). Defaults to the ambient mesh
+    over all visible devices whenever more than one device is present and
     ``cfg.n_chains`` divides evenly — chains are device-count invariant
-    (keys fold from global chain ids), so results are bitwise identical
-    to the single-device path.
+    (XLA: keys fold from global chain ids; fused: kernel PRNG seeds fold
+    from global block ids), so results are bitwise identical to the
+    single-device path.
     """
     if isinstance(scene, SceneSpec):
         spec = scene
@@ -124,17 +125,24 @@ def suggest_layouts(
             engine = "xla"
 
     if engine == "fused":
-        if mesh is not None:
-            raise ValueError(
-                "engine='fused' is single-device; drop mesh or use "
-                "engine='xla' to shard chains"
-            )
-        from mh_tpu.kernels.fused_mh import run_chains_fused
-
         seed = key if isinstance(key, int) else 0
-        pose, breakdown, n_acc, scale = run_chains_fused(
-            seed, pose0, scene, cfg, cfg.n_chains, cfg.iterations
-        )
+        # off-TPU the kernel runs under the Pallas interpreter with its
+        # software counter-based PRNG (no hardware prng_* lowering there)
+        interp = jax.default_backend() not in ("tpu", "axon")
+        if mesh is not None:
+            from mh_tpu.kernels.fused_mh import run_chains_fused_sharded
+
+            pose, breakdown, n_acc, scale = run_chains_fused_sharded(
+                seed, pose0, scene, cfg, cfg.n_chains, cfg.iterations, mesh,
+                interpret=interp,
+            )
+        else:
+            from mh_tpu.kernels.fused_mh import run_chains_fused
+
+            pose, breakdown, n_acc, scale = run_chains_fused(
+                seed, pose0, scene, cfg, cfg.n_chains, cfg.iterations,
+                interpret=interp,
+            )
         n_real = int(np.sum(np.asarray(scene.obj_mask) > 0))
         return LayoutResult(
             points=np.asarray(pose)[:, :n_real, :],

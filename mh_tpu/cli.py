@@ -28,6 +28,12 @@ def _add_sampler_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--chains", type=int, default=4)
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--moves-per-step", type=int, default=1)
+    p.add_argument(
+        "--accept-draws", type=int, default=1,
+        help="K independent accept decisions per proposal (Kernel.cu:819 "
+             "emulation; set = --moves-per-step for reference-default "
+             "blockxDim semantics)",
+    )
     p.add_argument("--beta", type=float, default=2.0)
     p.add_argument("--mode", choices=["parity", "fixed"], default="parity")
     p.add_argument("--adapt", action="store_true")
@@ -46,6 +52,7 @@ def _sampler_config(args):
         iterations=args.iters,
         n_chains=args.chains,
         n_moves_per_step=args.moves_per_step,
+        accept_draws=args.accept_draws,
         beta=args.beta,
         adapt=args.adapt,
         mode=CostMode(args.mode),
@@ -59,7 +66,8 @@ def cmd_suggest(args) -> int:
 
     spec = load_scene(args.scene) if args.scene else demo_scene(args.objects)
     res = suggest_layouts(
-        spec, _sampler_config(args), key=args.seed, engine=args.engine
+        spec, _sampler_config(args), key=args.seed, engine=args.engine,
+        serve=args.serve,
     )
     out = {
         "points": np.asarray(res.points, np.float64).tolist(),
@@ -182,6 +190,11 @@ def main(argv=None) -> int:
         "--engine", default="auto",
         choices=["auto", "xla", "xla_specialized", "fused"],
         help="sampling engine (see suggest_layouts)",
+    )
+    p.add_argument(
+        "--serve", action="store_true",
+        help="scene will be sampled repeatedly: let auto pick the "
+             "scene-specialized engine (one compile per scene)",
     )
     _add_sampler_flags(p)
     p.set_defaults(fn=cmd_suggest)

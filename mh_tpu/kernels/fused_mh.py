@@ -261,6 +261,41 @@ def _uniform(shape):
     ) + 1e-7
 
 
+def _i32c(v: int) -> jnp.int32:
+    """int32 constant from a uint32 literal (wraps to two's complement)."""
+    return jnp.int32(np.int64(np.uint32(v).astype(np.int32)))
+
+
+def _uniform_sw(base, shape):
+    """Software counter-based uniforms (triple32-style integer mixing).
+
+    Pure jnp/lax ops, so it runs under the Pallas CPU interpreter — which
+    has no lowering for the hardware ``prng_*`` primitives — AND compiles
+    on TPU. Used only when the runner is built with ``interpret=True``
+    (mesh dry-runs, CPU tests); the hardware PRNG remains the compiled
+    path. ``base`` is a traced i32 unique per draw (seed/counter mix).
+    """
+    shr = jax.lax.shift_right_logical
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * shape[-1]
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    )
+    x = flat ^ base
+
+    def mix(x):
+        x = x ^ shr(x, 17)
+        x = x * _i32c(0xED5AD4BB)
+        x = x ^ shr(x, 11)
+        x = x * _i32c(0xAC4C1B51)
+        x = x ^ shr(x, 15)
+        x = x * _i32c(0x31848BAB)
+        x = x ^ shr(x, 14)
+        return x
+
+    bits = shr(mix(mix(x)), 9)  # 23 mantissa bits, non-negative
+    return bits.astype(jnp.float32) * (1.0 / (1 << 23)) + 1e-7
+
+
 def _fused_kernel(
     seed_ref,  # SMEM i32[1]
     scal_ref,  # SMEM f32[N_SCALARS]
@@ -284,12 +319,17 @@ def _fused_kernel(
     n_clr_real: int = 0,
     clr_anchors: tuple = (),
     accept_draws: int = 1,
+    sw_rng: bool = False,
 ):
     B = pose_ref.shape[1]
     pi = mode.pi
     parity = mode is CostMode.PARITY
 
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # seed is per GLOBAL chain block: callers sharding chains over a mesh
+    # pass seed + first_global_block, so streams are device-count invariant
+    seed_val = seed_ref[0] + pl.program_id(0)
+    if not sw_rng:
+        pltpu.prng_seed(seed_val)
 
     mask = planes_ref[P_MASK, :]  # f32[N]
     okv = planes_ref[P_OK, :]  # 1.0 for movable (unfrozen, real) objects
@@ -836,7 +876,20 @@ def _fused_kernel(
         l_oh = (sel[:, None, :] > 0) & g_on  # [B,1,N]
         return jnp.where(l_oh, newcol[:, :, None], sm)
 
-    def scratch_body(x_s, y_s, rot_s, aux_s, cur_s, sm_s, so_s):
+    def scratch_body(x_s, y_s, rot_s, aux_s, cur_s, sm_s, so_s, cnt_s):
+        # one [B, LANE] random block per call; sw path counts draws in SMEM
+        cnt_s[0] = jnp.int32(0)
+
+        def draw_block():
+            if 'rng' in _DEBUG_SKIP:
+                return jnp.full((B, LANE), 0.5, jnp.float32)
+            if sw_rng:
+                c = cnt_s[0]
+                cnt_s[0] = c + 1
+                base = (seed_val * _i32c(0x9E3779B9)) ^ (c * _i32c(0x85EBCA6B))
+                return _uniform_sw(base, (B, LANE))
+            return _uniform((B, LANE))
+
         # aux planes: z, rotX, rotZ — only touched by swaps
         x_s[:, :] = pose_ref[0, :, :]
         y_s[:, :] = pose_ref[1, :, :]
@@ -880,7 +933,7 @@ def _fused_kernel(
             x = x_s[:, :]
             y = y_s[:, :]
             rot = rot_s[:, :]
-            us0 = _uniform((B, LANE))  # dedicated accept draw(s)
+            us0 = draw_block()  # dedicated accept draw(s)
             if accept_draws == 1:
                 u_acc = us0[:, 1:2]
             else:
@@ -904,7 +957,7 @@ def _fused_kernel(
 
             def move_body(_m, carry):
                 xc, yc, rc, b0, b1, b2 = carry[:6]
-                us = _uniform((B, LANE))
+                us = draw_block()
                 move = jnp.minimum((us[:, 0:1] * 3.0).astype(jnp.int32), 2)
                 r1 = jnp.sqrt(-2.0 * jnp.log(us[:, 2:3]))
                 r2 = jnp.sqrt(-2.0 * jnp.log(us[:, 4:5]))
@@ -1006,16 +1059,16 @@ def _fused_kernel(
                 )
             return 0
 
-        def iter_body(t, _):
+        def one_step(us):
+            """One MH iteration driven by a pre-drawn lane block ``us``
+            ([B, 8] for accept_draws == 1, [B, 8+K] otherwise). The caller
+            amortizes one on-chip [B, LANE] PRNG draw over LANE//lanes
+            steps via static lane slices — the per-iteration random-bit
+            volume was ~14% of the headline step time when drawn per step
+            (MH_FUSED_SKIP=rng ablation, 2026-08-20)."""
             x = x_s[:, :]
             y = y_s[:, :]
             rot = rot_s[:, :]
-
-            # --- randomness: one [B, LANE] block per iteration --------------
-            if 'rng' in _DEBUG_SKIP:
-                us = jnp.full((B, LANE), 0.5, jnp.float32)
-            else:
-                us = _uniform((B, LANE))
 
             move = jnp.minimum((us[:, 0:1] * 3.0).astype(jnp.int32), 2)  # [B,1]
             if accept_draws == 1:
@@ -1140,13 +1193,32 @@ def _fused_kernel(
                 cur_s[:, 2:3] = cur_s[:, 2:3] + adapt_rate * (
                     acc - target_acc
                 )
-            return 0
 
-        jax.lax.fori_loop(
-            0, iterations,
-            iter_body if moves_per_step == 1 else iter_body_multi,
-            0,
-        )
+        if moves_per_step == 1:
+            # Amortize one [B, LANE] on-chip PRNG draw over `unroll` MH
+            # steps (static lane slices; the steps stay sequentially
+            # dependent through the accepted state, only the random-bit
+            # generation is batched). MH_FUSED_UNROLL overrides.
+            lanes = 8 if accept_draws == 1 else 8 + accept_draws
+            unroll = max(1, LANE // lanes)
+            env_unroll = os.environ.get("MH_FUSED_UNROLL", "")
+            if env_unroll:
+                unroll = max(1, min(int(env_unroll), LANE // lanes))
+
+            def iter_block(t, _):
+                us_blk = draw_block()
+                for j in range(unroll):
+                    one_step(us_blk[:, j * lanes : j * lanes + lanes])
+                return 0
+
+            jax.lax.fori_loop(0, iterations // unroll, iter_block, 0)
+            rem = iterations % unroll
+            if rem:
+                us_blk = draw_block()
+                for j in range(rem):
+                    one_step(us_blk[:, j * lanes : j * lanes + lanes])
+        else:
+            jax.lax.fori_loop(0, iterations, iter_body_multi, 0)
 
         # final breakdown for reporting. Symmetry comes from the carried
         # slab maxima when incremental (bitwise-equal to a full eval);
@@ -1194,6 +1266,7 @@ def _fused_kernel(
         cur_s=pltpu.VMEM((B, LANE), jnp.float32),
         sm_s=pltpu.VMEM((B, n // 8, n), jnp.float32),
         so_s=pltpu.VMEM((B, n // 8, n), jnp.float32),
+        cnt_s=pltpu.SMEM((1,), jnp.int32),
     )
 
 
@@ -1245,6 +1318,9 @@ def _fused_runner(
         clr_unroll=clr_unroll,
         n_clr_real=n_clr_real,
         clr_anchors=clr_anchors,
+        # the interpreter has no hardware-PRNG lowering; use the software
+        # counter-based stream there (still deterministic per global block)
+        sw_rng=interpret,
     )
     call = pl.pallas_call(
         kernel,
@@ -1316,6 +1392,7 @@ def run_chains_fused(
     iterations: int,
     interpret: bool = False,
     incremental: bool | None = None,
+    bc_override: int | None = None,
 ):
     """Run ``n_chains`` MH chains fully fused on-chip.
 
@@ -1337,13 +1414,48 @@ def run_chains_fused(
     one executable dispatch (the first call per configuration traces and
     compiles once).
     """
+    runner, packed, _ = _get_runner(
+        scene, cfg, n_chains, iterations, interpret, incremental, bc_override
+    )
+    n0 = scene.n_pad_objs
+    p0 = pose0 if pose0.ndim == 3 else jnp.broadcast_to(pose0, (n_chains, n0, 6))
+    return runner(jnp.asarray([seed], jnp.int32), *_runner_args(packed, p0))
+
+
+def _runner_args(packed: PackedScene, p0: Array) -> tuple:
+    return (
+        packed.scalars,
+        packed.clr_scal,
+        p0,
+        packed.planes,
+        packed.rel_src_oh,
+        packed.rel_tgt_oh,
+        packed.rel_params,
+        packed.ang_src_oh,
+        packed.ang_tgt_oh,
+        packed.ang_params,
+        packed.clr_src_oh,
+        packed.clr_params,
+    )
+
+
+def _get_runner(
+    scene: Scene,
+    cfg: SamplerConfig,
+    n_chains: int,
+    iterations: int,
+    interpret: bool,
+    incremental: bool | None,
+    bc_override: int | None,
+):
+    """Fetch/compile the per-shape jitted fused runner (see _RUNNER_CACHE)."""
     if incremental is None:
         incremental = os.environ.get("MH_FUSED_INCREMENTAL", "1") != "0"
     incremental = incremental and "sym" not in _DEBUG_SKIP
     packed = pack_scene(scene, cfg)
     n = packed.n
     n0 = scene.n_pad_objs
-    bc = min(block_chains(n), n_chains)
+    bc = bc_override or min(block_chains(n), n_chains)
     while bc > 8 and n_chains % bc:
         bc //= 2
     if n_chains % bc:
@@ -1363,6 +1475,7 @@ def run_chains_fused(
         packed.ang_src_oh.shape, packed.ang_params.shape,
         packed.clr_src_oh.shape, packed.clr_params.shape,
         int(os.environ.get("MH_FUSED_VMEM", 17 << 20)),
+        os.environ.get("MH_FUSED_UNROLL", ""),
     )
     runner = _RUNNER_CACHE.get(cache_key)
     if runner is None:
@@ -1373,7 +1486,7 @@ def run_chains_fused(
             accept_draws=cfg.accept_draws,
             clr_unroll=clr_unroll, n_clr_real=packed.n_clr_real,
             clr_anchors=packed.clr_anchors, interpret=interpret,
-            vmem_bytes=cache_key[-1],
+            vmem_bytes=int(os.environ.get("MH_FUSED_VMEM", 17 << 20)),
             rel_shape=packed.rel_src_oh.shape,
             relp_shape=packed.rel_params.shape,
             ang_shape=packed.ang_src_oh.shape,
@@ -1382,22 +1495,68 @@ def run_chains_fused(
             clrp_shape=packed.clr_params.shape,
         )
         _RUNNER_CACHE[cache_key] = runner
+    return runner, packed, bc
 
-    p0 = pose0 if pose0.ndim == 3 else jnp.broadcast_to(pose0, (n_chains, n0, 6))
-    return runner(
-        jnp.asarray([seed], jnp.int32),
-        packed.scalars,
-        packed.clr_scal,
-        p0,
-        packed.planes,
-        packed.rel_src_oh,
-        packed.rel_tgt_oh,
-        packed.rel_params,
-        packed.ang_src_oh,
-        packed.ang_tgt_oh,
-        packed.ang_params,
-        packed.clr_src_oh,
-        packed.clr_params,
+
+def run_chains_fused_sharded(
+    seed: Array,
+    pose0: Array,
+    scene: Scene,
+    cfg: SamplerConfig,
+    n_chains: int,
+    iterations: int,
+    mesh,
+    interpret: bool = False,
+    incremental: bool | None = None,
+    bc_override: int | None = None,
+):
+    """The fused kernel sharded over ``mesh``'s chains axis (shard_map).
+
+    Each device runs the VMEM-resident kernel on its ``n_chains/n_dev``
+    local chains; the scene is replicated; zero collectives in the loop
+    (chains are independent, like the reference's grid of blocks).
+
+    Device-count invariance: each kernel grid block seeds its PRNG from
+    ``seed + global_block_index``, and the per-device seed base passed here
+    is offset by the device's first global block — so the random streams
+    (and therefore every chain trajectory) are bitwise identical on 1 chip
+    or a pod slice, provided the same per-grid-step block size ``bc`` is
+    used (pass ``bc_override`` when comparing across device counts whose
+    defaults would differ). Returns the same tuple as
+    :func:`run_chains_fused` with global (mesh-sharded) arrays.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from mh_tpu.parallel.mesh import CHAINS_AXIS
+
+    n_dev = mesh.shape[CHAINS_AXIS]
+    if n_chains % n_dev:
+        raise ValueError(f"n_chains={n_chains} not divisible by mesh {n_dev}")
+    n_local = n_chains // n_dev
+    runner, packed, bc = _get_runner(
+        scene, cfg, n_local, iterations, interpret, incremental, bc_override
     )
+    blocks_local = n_local // bc
+    n0 = scene.n_pad_objs
+    p0 = pose0 if pose0.ndim == 3 else jnp.broadcast_to(pose0, (n_chains, n0, 6))
+
+    def device_fn(p0_local, *scene_args):
+        dev = jax.lax.axis_index(CHAINS_AXIS)
+        seed_arr = jnp.asarray([seed], jnp.int32) + (
+            dev * blocks_local
+        ).astype(jnp.int32)
+        return runner(seed_arr, scene_args[0], scene_args[1], p0_local,
+                      *scene_args[2:])
+
+    sharded = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(CHAINS_AXIS),) + (P(),) * 11,
+        out_specs=(P(CHAINS_AXIS), P(CHAINS_AXIS), P(CHAINS_AXIS), P(CHAINS_AXIS)),
+        check_vma=False,
+    )
+    args = _runner_args(packed, p0)
+    # reorder: p0 (sharded) first, then the replicated scene operands
+    return sharded(args[2], args[0], args[1], *args[3:])
 
 

@@ -55,13 +55,11 @@ def test_unknown_engine_rejected():
         )
 
 
-def test_fused_engine_rejects_unsupported_config():
-    """The fused kernel is single-device: combining it with a chains mesh
-    must fail loudly instead of silently dropping the mesh. Adaptation and
-    block proposals are supported in-kernel (tests/test_fused_kernel.py),
-    so auto handles every sampler config on any platform."""
-    import pytest
-
+def test_fused_engine_handles_every_config():
+    """engine='fused' accepts a chains mesh (round 2: shard_map'd kernel;
+    off-TPU it runs the Pallas interpreter with the software PRNG), and
+    adaptation + block proposals are supported in-kernel — auto therefore
+    handles every sampler config on any platform."""
     from mh_tpu.api import suggest_layouts
     from mh_tpu.config import SamplerConfig
     from mh_tpu.models.scene import demo_scene
@@ -69,8 +67,10 @@ def test_fused_engine_rejects_unsupported_config():
 
     spec = demo_scene(8)
     cfg = SamplerConfig(iterations=2, n_chains=8, adapt=True)
-    with pytest.raises(ValueError, match="fused"):
-        suggest_layouts(spec, cfg, key=0, engine="fused", mesh=chain_mesh())
+    res = suggest_layouts(spec, cfg, key=0, engine="fused", mesh=chain_mesh())
+    assert res.points.shape[0] == 8
+    assert np.isfinite(res.points).all()
+    assert np.isfinite(res.costs).all()
     # auto handles adaptive + block-proposal configs on any platform
     for ok in (
         cfg,

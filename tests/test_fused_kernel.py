@@ -233,3 +233,24 @@ def test_fused_accept_draws_lifts_acceptance(moves):
     rK = float(np.asarray(accK).mean()) / iters
     assert rK > r1 + 0.1, (r1, rK)
     assert rK <= 1.0
+
+
+def test_fused_sharded_single_device_bitwise():
+    """run_chains_fused_sharded on a 1-device mesh must be bitwise equal to
+    the unsharded runner (same hardware-PRNG seeds per global block)."""
+    from mh_tpu.kernels.fused_mh import (
+        run_chains_fused,
+        run_chains_fused_sharded,
+    )
+    from mh_tpu.parallel.mesh import chain_mesh
+
+    spec = demo_scene(32)
+    scene = spec.build()
+    cfg = SamplerConfig()
+    p1, bd1, a1, _ = run_chains_fused(7, spec.initial_pose(), scene, cfg, 16, 100)
+    p2, bd2, a2, _ = run_chains_fused_sharded(
+        7, spec.initial_pose(), scene, cfg, 16, 100, chain_mesh(1)
+    )
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(bd1), np.asarray(bd2))
