@@ -1135,19 +1135,62 @@ def _fused_kernel(
 
             gate1 = jnp.full((B, 1), 1.0, jnp.float32) * gate
             if incremental:
+                # Deferred-commit incremental symmetry: compute the candidate
+                # total WITHOUT materializing sm_star (round-1 built it via 5
+                # sequential [B,S,N] select passes before the accept decision
+                # could issue). The per-lane best after a <=2-object move is
+                # reconstructible from (a) the carried sm with the two stale
+                # slabs masked out, (b) the two fresh slab rows, and (c) for
+                # the moved lanes themselves the max of their fresh value row
+                # (max_s newcol[s] == max_j vrow[j] — max is order-insensitive
+                # so this is bitwise-equal to the materialized path). State is
+                # committed after (and gated by) acceptance instead.
                 rx_st, ry_st, rrot_st = reflections(x_star, y_star, rot_star)
-                sm_star = sm_update(
-                    sm_s[:, :, :], sel1,
-                    x_star, y_star, rot_star, rx_st, ry_st, rrot_st, gate1,
+                s1_i = (
+                    jnp.sum(sel1 * iota_n, axis=1, keepdims=True)
+                ).astype(jnp.int32)[:, :, None] // 8  # [B,1,1]
+                s2_i = (
+                    jnp.sum(sel2 * iota_n, axis=1, keepdims=True)
+                ).astype(jnp.int32)[:, :, None] // 8
+                g1_on = gate1[:, :, None] > 0  # [B,1,1]
+                g2_on = sw[:, :, None] > 0
+                row1 = slab_row_max(
+                    s1_i, x_star, y_star, rot_star, rx_st, ry_st, rrot_st
+                )  # [B,N]
+                row2 = slab_row_max(
+                    s2_i, x_star, y_star, rot_star, rx_st, ry_st, rrot_st
                 )
-                sm_star = sm_update(
-                    sm_star, sel2,
-                    x_star, y_star, rot_star, rx_st, ry_st, rrot_st, sw,
+
+                def vrow_of(sel):
+                    rxk = jnp.sum(sel * rx_st, axis=1, keepdims=True)
+                    ryk = jnp.sum(sel * ry_st, axis=1, keepdims=True)
+                    rrk = jnp.sum(sel * rrot_st, axis=1, keepdims=True)
+                    v = sym_val(x_star, y_star, rot_star, rxk, ryk, rrk)
+                    return jnp.where(mask_row > 0, v, _NEG_HUGE)
+
+                vrow1 = vrow_of(sel1)  # [B,N]
+                vrow2 = vrow_of(sel2)
+                stale1 = (iota_s3 == s1_i) & g1_on  # [B,S,1]
+                stale2 = (iota_s3 == s2_i) & g2_on
+                base = jnp.max(
+                    jnp.where(stale1 | stale2, _NEG_HUGE, sm_s[:, :, :]),
+                    axis=1,
+                )  # [B,N]
+                best = jnp.maximum(
+                    base, jnp.where(gate1 > 0, row1, _NEG_HUGE)
+                )
+                best = jnp.maximum(best, jnp.where(sw > 0, row2, _NEG_HUGE))
+                m1 = jnp.max(vrow1, axis=1, keepdims=True)  # [B,1]
+                m2 = jnp.max(vrow2, axis=1, keepdims=True)
+                best = jnp.where((sel1 > 0) & (gate1 > 0), m1, best)
+                best = jnp.where((sel2 > 0) & (sw > 0), m2, best)
+                sym_star = -jnp.sum(
+                    jnp.maximum(best, 0.0) * mask_row, axis=1, keepdims=True
                 )
                 t_other, _ = costs_of(
                     x_star, y_star, rot_star, False, with_sym=False
                 )
-                total_star = t_other + w_sy * sym_from_sm(sm_star)
+                total_star = t_other + w_sy * sym_star
             else:
                 total_star, _ = costs_of(x_star, y_star, rot_star, False)
             if not parity:
@@ -1172,9 +1215,28 @@ def _fused_kernel(
             y_s[:, :] = jnp.where(acc_b, y_star, y)
             rot_s[:, :] = jnp.where(acc_b, rot_star, rot)
             if incremental:
-                sm_s[:, :, :] = jnp.where(
-                    acc_b[:, :, None], sm_star, sm_s[:, :, :]
+                # acceptance-gated slab-state commit (rows then columns —
+                # write order makes the overlap cells bitwise-equal to the
+                # round-1 materialized sm_star; see docstring above)
+                a3 = acc_b[:, :, None]  # [B,1,1]
+                w1 = stale1 & a3  # [B,S,1]
+                w2 = stale2 & a3
+                rowpick = jnp.where(w2, row2[:, None, :], row1[:, None, :])
+                sm = jnp.where(w1 | w2, rowpick, sm_s[:, :, :])
+                newcol1 = jnp.max(
+                    jnp.where(slab_mask3, vrow1[:, None, :], _NEG_HUGE),
+                    axis=2,
+                )  # [B,S]
+                newcol2 = jnp.max(
+                    jnp.where(slab_mask3, vrow2[:, None, :], _NEG_HUGE),
+                    axis=2,
                 )
+                c1 = (sel1[:, None, :] > 0) & g1_on & a3  # [B,1,N]
+                c2 = (sel2[:, None, :] > 0) & g2_on & a3
+                colpick = jnp.where(
+                    c2, newcol2[:, :, None], newcol1[:, :, None]
+                )
+                sm_s[:, :, :] = jnp.where(c1 | c2, colpick, sm)
                 if not parity:
                     so_s[:, :, :] = jnp.where(
                         acc_b[:, :, None], so_star, so_s[:, :, :]
