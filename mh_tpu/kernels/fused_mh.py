@@ -438,92 +438,103 @@ def _fused_kernel(
         xm = x * mask_row
         ym = y * mask_row
 
-        # --- pairwise distance (Kernel.cu:210-233), via one-hot matmuls ----
+        # --- entity gathers, ONE batched one-hot matmul per plane ----------
+        # rel source/target, angle source/target, and (unrolled path) the
+        # clearance parent + parity-anchor one-hots all gather from x and y
+        # with static one-hot matrices. Concatenating them row-wise and
+        # doing a single [B,N]x[N,M] dot per plane replaces 8 tiny MXU
+        # dispatches (plus 8 [B,N] reduce-sums in the unrolled clearance
+        # path) with 2 — each output column is an independent dot product,
+        # so the gathered values are bitwise-equal to the separate calls.
+        # HIGHEST precision throughout: the MXU's default f32 path rounds
+        # operands through bf16 (~0.4% rel), which truncates the gathered
+        # coordinates — measured up to 1.6 absolute clearance error at
+        # piled-up FIXED-mode poses.
+        rel_s = rel_s_ref[:, :]  # [R, N]
+        rel_t = rel_t_ref[:, :]
+        a_s = ang_s_ref[:, :]
+        a_t = ang_t_ref[:, :]
+        r_cnt = rel_s.shape[0]
+        a_cnt = a_s.shape[0]
+        gparts = [rel_s, rel_t, a_s, a_t]
+        if clr_unroll and n_clr_real:
+            clr_src = clr_s_ref[0:n_clr_real, :]  # [C, N]
+            gparts.append(clr_src)
+            if parity:
+                anc_rows = jnp.concatenate(
+                    [
+                        (iota_n == float(clr_anchors[c])).astype(jnp.float32)
+                        for c in range(n_clr_real)
+                    ],
+                    axis=0,
+                )  # [C, N]
+                gparts.append(anc_rows)
+        gmat = jnp.concatenate(gparts, axis=0)  # [M, N]
+
+        def gather_all(plane):
+            return jax.lax.dot_general(
+                plane, gmat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [B, M]
+
+        gx_all = gather_all(x)
+        gy_all = gather_all(y)
+        atr = jax.lax.dot_general(
+            rot, a_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sx = gx_all[:, 0:r_cnt]
+        sy_ = gy_all[:, 0:r_cnt]
+        tx = gx_all[:, r_cnt : 2 * r_cnt]
+        ty = gy_all[:, r_cnt : 2 * r_cnt]
+        asx = gx_all[:, 2 * r_cnt : 2 * r_cnt + a_cnt]
+        asy = gy_all[:, 2 * r_cnt : 2 * r_cnt + a_cnt]
+        atx = gx_all[:, 2 * r_cnt + a_cnt : 2 * r_cnt + 2 * a_cnt]
+        aty = gy_all[:, 2 * r_cnt + a_cnt : 2 * r_cnt + 2 * a_cnt]
+        _clr_off = 2 * r_cnt + 2 * a_cnt
+
+        # --- pairwise distance (Kernel.cu:210-233) -------------------------
         if 'rel' in _DEBUG_SKIP:
             pw = jnp.zeros((B, 1), jnp.float32)
             pwa = jnp.zeros((B, 1), jnp.float32)
-        rel_s = rel_s_ref[:, :]  # [R, N]
-        rel_t = rel_t_ref[:, :]
-        # HIGHEST precision on every one-hot gather matmul: the MXU's
-        # default f32 path rounds operands through bf16 (~0.4% rel), which
-        # truncates the gathered coordinates — measured up to 1.6 absolute
-        # clearance error at piled-up FIXED-mode poses. Full-precision
-        # passes on these tiny [B,N]x[E,N] products cost nothing.
-        sx = jax.lax.dot_general(  # [B, R]
-            x, rel_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
-        )
-        sy_ = jax.lax.dot_general(
-            y, rel_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
-        )
-        tx = jax.lax.dot_general(
-            x, rel_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
-        )
-        ty = jax.lax.dot_general(
-            y, rel_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
-        )
-        r_cnt = rel_s.shape[0]
-        lo = rel_p_ref[:, 0].reshape(1, r_cnt)
-        hi = rel_p_ref[:, 1].reshape(1, r_cnt)
-        rm = rel_p_ref[:, 2].reshape(1, r_cnt)
-        d = jnp.sqrt(jnp.square(sx - tx) + jnp.square(sy_ - ty))
-        lo_safe = jnp.where(lo > 0, lo, 1.0)
-        d_safe = jnp.where(d > 0, d, 1.0)
-        pen = jnp.where(
-            d < lo, -jnp.square(d / lo_safe),
-            jnp.where(d > hi, -jnp.square(hi / d_safe), 0.0),
-        )
-        # entity axis is sublane-sized (8): reduce it on sublanes via a
-        # [B, R, 1] view — tiny lane-dim reductions miscompile in Mosaic
-        pw = jnp.sum((pen * rm)[:, :, None], axis=1)  # [B,1]
-
-        # --- pairwise angle (Kernel.cu:236-263) ----------------------------
-        a_s = ang_s_ref[:, :]
-        a_t = ang_t_ref[:, :]
-        asx = jax.lax.dot_general(
-            x, a_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
-        )
-        asy = jax.lax.dot_general(
-            y, a_s, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
-        )
-        atx = jax.lax.dot_general(
-            x, a_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
-        )
-        aty = jax.lax.dot_general(
-            y, a_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
-        )
-        atr = jax.lax.dot_general(
-            rot, a_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST
-        )
-        a_cnt = a_s.shape[0]
-        amin = ang_p_ref[:, 0].reshape(1, a_cnt)
-        amax = ang_p_ref[:, 1].reshape(1, a_cnt)
-        am = ang_p_ref[:, 2].reshape(1, a_cnt)
-        th = theta_fn(asx, asy, atx, aty, atr)
-        dev = jnp.minimum(jnp.abs(th - amin), jnp.abs(th - amax))
-        wrap_case = amin > amax
-        norm_wrap = jnp.where(wrap_case, (amin - amax) / 2.0, 1.0)
-        cond_wrap = jnp.mod(amin + th, 2 * pi) > amax
-        npl_raw = (2 * pi - (amax - amin)) / 2.0
-        npl = jnp.where(npl_raw != 0, npl_raw, 1.0)
-        if parity:
-            cond_plain = (amin < th) | (th < amax)
         else:
-            cond_plain = (th < amin) | (th > amax)
-        apen = jnp.where(
-            wrap_case,
-            jnp.where(cond_wrap, -dev / norm_wrap, 0.0),
-            jnp.where(cond_plain, -dev / npl, 0.0),
-        )
-        pwa = jnp.sum((apen * am)[:, :, None], axis=1)  # [B,1]
+            lo = rel_p_ref[:, 0].reshape(1, r_cnt)
+            hi = rel_p_ref[:, 1].reshape(1, r_cnt)
+            rm = rel_p_ref[:, 2].reshape(1, r_cnt)
+            d = jnp.sqrt(jnp.square(sx - tx) + jnp.square(sy_ - ty))
+            lo_safe = jnp.where(lo > 0, lo, 1.0)
+            d_safe = jnp.where(d > 0, d, 1.0)
+            pen = jnp.where(
+                d < lo, -jnp.square(d / lo_safe),
+                jnp.where(d > hi, -jnp.square(hi / d_safe), 0.0),
+            )
+            # entity axis is sublane-sized (8): reduce it on sublanes via a
+            # [B, R, 1] view — tiny lane-dim reductions miscompile in Mosaic
+            pw = jnp.sum((pen * rm)[:, :, None], axis=1)  # [B,1]
+
+            # --- pairwise angle (Kernel.cu:236-263) ------------------------
+            amin = ang_p_ref[:, 0].reshape(1, a_cnt)
+            amax = ang_p_ref[:, 1].reshape(1, a_cnt)
+            am = ang_p_ref[:, 2].reshape(1, a_cnt)
+            th = theta_fn(asx, asy, atx, aty, atr)
+            dev = jnp.minimum(jnp.abs(th - amin), jnp.abs(th - amax))
+            wrap_case = amin > amax
+            norm_wrap = jnp.where(wrap_case, (amin - amax) / 2.0, 1.0)
+            cond_wrap = jnp.mod(amin + th, 2 * pi) > amax
+            npl_raw = (2 * pi - (amax - amin)) / 2.0
+            npl = jnp.where(npl_raw != 0, npl_raw, 1.0)
+            if parity:
+                cond_plain = (amin < th) | (th < amax)
+            else:
+                cond_plain = (th < amin) | (th > amax)
+            apen = jnp.where(
+                wrap_case,
+                jnp.where(cond_wrap, -dev / norm_wrap, 0.0),
+                jnp.where(cond_plain, -dev / npl, 0.0),
+            )
+            pwa = jnp.sum((apen * am)[:, :, None], axis=1)  # [B,1]
 
         # --- visual balance (Kernel.cu:191-207) ----------------------------
         area_row = area.reshape(1, n)
@@ -536,8 +547,19 @@ def _fused_kernel(
         )
 
         # --- focal point (Kernel.cu:266-281) -------------------------------
-        ph = _atan2(fy - y, fx - x) - rot + pi / 2.0
-        fp = jnp.sum(-jnp.cos(ph) * mask_row, axis=1, keepdims=True)
+        # cos(atan2(dy,dx) - rot + pi/2) == (dx*sin(rot) - dy*cos(rot))/r
+        # exactly (angle-addition; cos(a)=dx/r, sin(a)=dy/r) — ~12 VPU ops
+        # instead of the ~30-op atan2 polynomial + cos. r == 0 (object on
+        # the focal point) degenerates to atan2(0,0) == 0 like the
+        # reference's atan2f, i.e. cos(-rot + pi/2) == sin(rot).
+        dxf = fx - x
+        dyf = fy - y
+        rf = jnp.sqrt(jnp.square(dxf) + jnp.square(dyf))
+        cph = (dxf * jnp.sin(rot) - dyf * jnp.cos(rot)) / jnp.where(
+            rf > 0, rf, 1.0
+        )
+        cph = jnp.where(rf > 0, cph, jnp.sin(rot))
+        fp = jnp.sum(-cph * mask_row, axis=1, keepdims=True)
 
         # --- N x N terms, chain-vectorized: symmetry + off-limits ----------
         # [B, N, N] tiles with i (reflection/row) on sublanes, j (candidate)
@@ -594,9 +616,10 @@ def _fused_kernel(
                 cmy = clr_scal_ref[c * 8 + 3]
                 cMx = clr_scal_ref[c * 8 + 4]
                 cMy = clr_scal_ref[c * 8 + 5]
-                src_row = clr_s_ref[c, :].reshape(1, n)  # one-hot [1, N]
-                cax = jnp.sum(src_row * x, axis=1, keepdims=True)  # [B,1]
-                cay = jnp.sum(src_row * y, axis=1, keepdims=True)
+                # parent + anchor translations come out of the batched
+                # gather matmul above (columns _clr_off..)
+                cax = gx_all[:, _clr_off + c : _clr_off + c + 1]  # [B,1]
+                cay = gy_all[:, _clr_off + c : _clr_off + c + 1]
                 ar = inter_area(
                     aabb_minx(cv0, ctl, cmn, cax), cmy + cay,
                     cMx + cax, cMy + cay,
@@ -608,11 +631,9 @@ def _fused_kernel(
                 # surface-area for this clearance rect: parity anchors by
                 # clearance index (Kernel.cu:456) — static here
                 if parity:
-                    anc_row = (
-                        iota_n == float(clr_anchors[c])
-                    ).astype(jnp.float32)  # [1, N] static one-hot
-                    pax = jnp.sum(anc_row * x, axis=1, keepdims=True)
-                    pay = jnp.sum(anc_row * y, axis=1, keepdims=True)
+                    a_off = _clr_off + n_clr_real + c
+                    pax = gx_all[:, a_off : a_off + 1]
+                    pay = gy_all[:, a_off : a_off + 1]
                 else:
                     pax, pay = cax, cay
                 sa_clr = sa_clr - outside_area(
@@ -733,6 +754,39 @@ def _fused_kernel(
         )  # [B, 8, N]
         vs = jnp.where(cmsk[:, :, None] > 0, vs, _NEG_HUGE)
         return jnp.max(vs, axis=1)  # [B, N]
+
+    iota_g16 = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
+
+    def dual_slab_row_max(s1_i3, s2_i3, x_st, y_st, rot_st, rx_st, ry_st,
+                          rrot_st):
+        """Both fresh slab rows in ONE [B,16,N] evaluation — [B,N] x 2.
+
+        Same element count as two ``slab_row_max`` calls but half the op
+        issues (candsel build, 4 gather reductions, sym_val): the kernel is
+        issue-bound, so wider tiles at equal element volume are ~free.
+        Slots 0-7 gather slab ``s1``'s candidates, 8-15 slab ``s2``'s; the
+        halves reduce separately, so each row is bitwise-equal to its
+        single-slab evaluation (max is order-insensitive).
+        """
+        gidx = jnp.where(
+            iota_g16 < 8,
+            s1_i3 * 8 + iota_g16,
+            s2_i3 * 8 + (iota_g16 - 8),
+        )  # [B,16,1]
+        candsel = (gidx == iota_j3).astype(jnp.float32)  # [B,16,N]
+        cx = jnp.sum(candsel * x_st[:, None, :], axis=2)  # [B,16]
+        cy = jnp.sum(candsel * y_st[:, None, :], axis=2)
+        cr = jnp.sum(candsel * rot_st[:, None, :], axis=2)
+        cmsk = jnp.sum(candsel * mask3j, axis=2)
+        vs = sym_val(
+            cx[:, :, None], cy[:, :, None], cr[:, :, None],
+            rx_st[:, None, :], ry_st[:, None, :], rrot_st[:, None, :],
+        )  # [B,16,N]
+        vs = jnp.where(cmsk[:, :, None] > 0, vs, _NEG_HUGE)
+        half1 = iota_g16 < 8
+        row1 = jnp.max(jnp.where(half1, vs, _NEG_HUGE), axis=1)
+        row2 = jnp.max(jnp.where(half1, _NEG_HUGE, vs), axis=1)
+        return row1, row2
 
     def slab_maxima_init(x, y, rot):
         """Populate sm one slab at a time (fori — keeps VMEM O(B*N))."""
@@ -1154,12 +1208,10 @@ def _fused_kernel(
                 ).astype(jnp.int32)[:, :, None] // 8
                 g1_on = gate1[:, :, None] > 0  # [B,1,1]
                 g2_on = sw[:, :, None] > 0
-                row1 = slab_row_max(
-                    s1_i, x_star, y_star, rot_star, rx_st, ry_st, rrot_st
-                )  # [B,N]
-                row2 = slab_row_max(
-                    s2_i, x_star, y_star, rot_star, rx_st, ry_st, rrot_st
-                )
+                row1, row2 = dual_slab_row_max(
+                    s1_i, s2_i, x_star, y_star, rot_star,
+                    rx_st, ry_st, rrot_st,
+                )  # [B,N] x 2
 
                 def vrow_of(sel):
                     rxk = jnp.sum(sel * rx_st, axis=1, keepdims=True)
