@@ -44,31 +44,6 @@ def _time_best(fn, repeats: int = 4) -> float:
     return best
 
 
-def _per_step_interleaved(run, short: int, long: int, repeats: int = 6) -> float:
-    """Scan-length differencing, interleaved: min(T_long) − min(T_short).
-
-    TPU-tunnel contention is time-correlated and strictly additive
-    (slowdowns, never speedups), so each min converges to the uncontended
-    time as long as *some* repeat lands in a quiet window; interleaving the
-    short/long runs spreads both over the same windows. Differencing the
-    per-length minima is unbiased under this noise model — taking the
-    smallest *pair delta* instead would select favorable noise (a slow
-    short + fast long pair) and overestimate throughput.
-    """
-    t_short = math.inf
-    t_long = math.inf
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        run(short)
-        t1 = time.perf_counter()
-        run(long)
-        t2 = time.perf_counter()
-        t_short = min(t_short, t1 - t0)
-        t_long = min(t_long, t2 - t1)
-    return max((t_long - t_short) / (long - short), 1e-9)
-
-
-
 def _per_step_linfit(run, lengths, repeats: int = 6) -> float:
     """Per-step seconds as the slope of min wall time over scan lengths.
 
@@ -228,9 +203,11 @@ def bench_collective(n_objs: int, n_chains: int) -> dict:
         np.asarray(states.pose)
         return rates
 
-    run(2)
     rates = run(12)
-    per_step = _per_step_interleaved(run, 2, 12, repeats=4) / 10.0
+    # same 3-length linearity fit as every other bench (the two-point
+    # differencing this replaced fabricates phantom slopes under the
+    # tunnel's time-correlated noise — round-1 post-mortem)
+    per_step = _per_step_linfit(run, (2, 7, 12), repeats=5) / 10.0
     return {
         "proposals_per_s": n_chains / per_step,
         "final_accept_rate": float(np.asarray(rates)[-1]),
@@ -299,29 +276,42 @@ def main() -> None:
         print(json.dumps(bench_fused(args.objects, args.chains)))
         return
 
+    def _guarded(name, fn, *a, **kw):
+        """One engine's failure must never erase another's measurement
+        (the round-2 bench died of a fused-kernel compile OOM before
+        printing the already-measured XLA headline)."""
+        try:
+            return fn(*a, **kw)
+        except Exception as e:  # noqa: BLE001 — report, keep benching
+            print(f"# {name} FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:300]}", file=sys.stderr)
+            return None
+
     platform = jax.devices()[0].platform
     print(f"# platform: {platform}, devices: {len(jax.devices())}", file=sys.stderr)
 
     if args.all:
-        pi = bench_pi()
+        pi = _guarded("config1 pi", bench_pi)
         print(f"# config1 pi (XLA): {json.dumps(pi)}", file=sys.stderr)
         if platform in ("tpu", "axon"):
-            fp = bench_pi_fused()
+            fp = _guarded("config1 pi fused", bench_pi_fused)
             print(f"# config1 pi (fused kernel): {json.dumps(fp)}", file=sys.stderr)
-        small = bench_layout(10, 1, 2000)
+        small = _guarded("config2", bench_layout, 10, 1, 2000)
         print(f"# config2 single-chain 10-obj: {json.dumps(small)}", file=sys.stderr)
-        blk = bench_layout(args.objects, min(args.chains, 256), 500, n_moves=64)
+        blk = _guarded("config3 block", bench_layout, args.objects,
+                       min(args.chains, 256), 500, n_moves=64)
         print(f"# config3 block-proposal K=64 (XLA engine): {json.dumps(blk)}",
               file=sys.stderr)
-        coll = bench_collective(args.objects, 1024)
+        coll = _guarded("config4", bench_collective, args.objects, 1024)
         print(f"# config4 collective-adaptation: {json.dumps(coll)}", file=sys.stderr)
         if platform in ("tpu", "axon"):
-            fused = bench_fused(args.objects, args.chains)
+            fused = _guarded("fused MH", bench_fused, args.objects, args.chains)
             print(f"# fused-kernel MH: {json.dumps(fused)}", file=sys.stderr)
-        ts = bench_tempering_smc()
+        ts = _guarded("config5", bench_tempering_smc)
         print(f"# config5 tempering+SMC: {json.dumps(ts)}", file=sys.stderr)
 
-    head = bench_layout(args.objects, args.chains, args.iters)
+    head = _guarded("headline XLA", bench_layout, args.objects, args.chains,
+                    args.iters)
     print(f"# config3/4 headline (XLA engine): {json.dumps(head)}", file=sys.stderr)
     if platform in ("tpu", "axon"):
         # The production API's auto engine picks the faster of the XLA scan
@@ -330,10 +320,14 @@ def main() -> None:
         # 3-length linearity fit (no subprocess best-of: taking a max over
         # processes selects favorable measurement noise, the exact failure
         # mode the round-1 methodology post-mortem documents).
-        fused = bench_fused(args.objects, args.chains)
+        fused = _guarded("headline fused", bench_fused, args.objects, args.chains)
         print(f"# config3/4 headline (fused kernel): {json.dumps(fused)}", file=sys.stderr)
-        if fused["proposals_per_s"] > head["proposals_per_s"]:
-            head = dict(head, **fused)
+        if fused and (
+            head is None or fused["proposals_per_s"] > head["proposals_per_s"]
+        ):
+            head = dict(head or {}, **fused)
+    if head is None:
+        raise SystemExit("no engine produced a headline measurement")
 
     base = oracle_baseline_proposals_per_s(args.objects)
     print(f"# oracle baseline: {base:.1f} proposals/s (single-core NumPy)", file=sys.stderr)

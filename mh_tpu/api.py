@@ -100,6 +100,7 @@ def suggest_layouts(
     # the fused kernel supports compound block proposals (n_moves_per_step
     # sequential moves per accept, like the reference's blockxDim threads)
     # and per-chain Robbins-Monro step-size adaptation in-kernel
+    auto_chosen = False
     if engine == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
         # Two measured crossovers (linearity-fit slopes, 2026-08-19, v5e,
@@ -115,46 +116,84 @@ def suggest_layouts(
         #    compile worth it — auto then serves xla_specialized in the
         #    <=160-object regime instead of the slower generic scan.
         chains_fit = cfg.n_chains % 8 == 0
-        single_dev = mesh is None and jax.device_count() == 1
-        fused_ok = on_tpu and chains_fit and single_dev
+        n_dev = jax.device_count() if mesh is None else int(
+            np.prod(list(mesh.shape.values()))
+        )
+        single_dev = mesh is None and n_dev == 1
+        # multi-device: the fused kernel runs sharded over the chains axis
+        # (scene replicated, per-device seed bases folded from global block
+        # ids — device-count invariant); chains must split evenly
+        multi_ok = cfg.n_chains % n_dev == 0 and np.ndim(pose0) == 2
+        fused_ok = on_tpu and chains_fit and (single_dev or multi_ok)
         if serve and single_dev and scene.n_pad_objs <= 160:
             engine = "xla_specialized"
         elif fused_ok and scene.n_pad_objs > (160 if serve else 104):
             engine = "fused"
         else:
             engine = "xla"
+        auto_chosen = True
 
     if engine == "fused":
-        seed = key if isinstance(key, int) else 0
-        # off-TPU the kernel runs under the Pallas interpreter with its
-        # software counter-based PRNG (no hardware prng_* lowering there)
-        interp = jax.default_backend() not in ("tpu", "axon")
-        if mesh is not None:
-            from mh_tpu.kernels.fused_mh import run_chains_fused_sharded
+        try:
+            return _run_fused(scene, cfg, key, pose0, mesh)
+        except Exception:  # noqa: BLE001 — auto never crashes the caller
+            # the fused runner already retries scoped-VMEM OOMs internally
+            # (shrinking its chain block); anything that still escapes only
+            # downgrades an auto choice — an explicit engine="fused" raises
+            if not auto_chosen:
+                raise
+            import warnings
 
-            pose, breakdown, n_acc, scale = run_chains_fused_sharded(
-                seed, pose0, scene, cfg, cfg.n_chains, cfg.iterations, mesh,
-                interpret=interp,
+            warnings.warn(
+                "auto-selected fused kernel failed; falling back to the "
+                "XLA engine",
+                stacklevel=2,
             )
-        else:
-            from mh_tpu.kernels.fused_mh import run_chains_fused
-
-            pose, breakdown, n_acc, scale = run_chains_fused(
-                seed, pose0, scene, cfg, cfg.n_chains, cfg.iterations,
-                interpret=interp,
-            )
-        n_real = int(np.sum(np.asarray(scene.obj_mask) > 0))
-        return LayoutResult(
-            points=np.asarray(pose)[:, :n_real, :],
-            costs=np.asarray(breakdown),
-            accept_rate=np.asarray(n_acc, np.float64) / max(cfg.iterations, 1),
-            step_scale=np.asarray(scale),
-        )
+            engine = "xla"
     if engine not in ("xla", "xla_specialized"):
         raise ValueError(
             f"unknown engine {engine!r} (use 'xla', 'xla_specialized' or 'fused')"
         )
+    return _run_xla(scene, cfg, key, pose0, engine, mesh)
 
+
+def _run_fused(scene, cfg, key, pose0, mesh) -> LayoutResult:
+    """Dispatch to the fused Pallas kernel (sharded when >1 device)."""
+    seed = key if isinstance(key, int) else 0
+    # off-TPU the kernel runs under the Pallas interpreter with its
+    # software counter-based PRNG (no hardware prng_* lowering there)
+    interp = jax.default_backend() not in ("tpu", "axon")
+    if mesh is None and jax.device_count() > 1 and (
+        cfg.n_chains % jax.device_count() == 0 and np.ndim(pose0) == 2
+    ):
+        from mh_tpu.parallel.mesh import chain_mesh
+
+        mesh = chain_mesh()
+    if mesh is not None:
+        from mh_tpu.kernels.fused_mh import run_chains_fused_sharded
+
+        pose, breakdown, n_acc, scale = run_chains_fused_sharded(
+            seed, pose0, scene, cfg, cfg.n_chains, cfg.iterations, mesh,
+            interpret=interp,
+        )
+    else:
+        from mh_tpu.kernels.fused_mh import run_chains_fused
+
+        pose, breakdown, n_acc, scale = run_chains_fused(
+            seed, pose0, scene, cfg, cfg.n_chains, cfg.iterations,
+            interpret=interp,
+        )
+    n_real = int(np.sum(np.asarray(scene.obj_mask) > 0))
+    return LayoutResult(
+        points=np.asarray(pose)[:, :n_real, :],
+        costs=np.asarray(breakdown),
+        accept_rate=np.asarray(n_acc, np.float64) / max(cfg.iterations, 1),
+        step_scale=np.asarray(scale),
+    )
+
+
+def _run_xla(scene, cfg, key, pose0, engine, mesh) -> LayoutResult:
+    """Dispatch to the XLA scan engines (sharded when >1 device)."""
     if isinstance(key, int):
         key = jax.random.key(key)
 

@@ -48,20 +48,55 @@ def block_chains(n: int) -> int:
 
     All cost terms are chain-vectorized 3-D tiles, so larger blocks
     amortize per-iteration bookkeeping until the O(B*n) VMEM temps bind.
-    Linearity-fit slopes at 1024 chains on v5e (2026-08-19, post
-    clearance-unroll): n=128 — B=32: 0.161, B=64: 0.107, B=128: 0.102
-    ms/step (all at the default VMEM limit); n=256 — B=64: 0.155 beats
-    B=32: 0.172. Larger scenes halve the block to keep the O(B*N^2/8)
-    slab state resident. ``MH_FUSED_BLOCK`` overrides.
+    The round-2 kernel (deferred-commit symmetry + batched gathers) needs
+    ~147 KB of scoped VMEM per chain at n=128, so B=128 no longer fits the
+    default 17 MB limit (the round-2 bench OOM); B=64 is the largest block
+    that does. The final block is further shrunk by the fit check in
+    :func:`_get_runner` (``fused_vmem_estimate``) and by the runtime
+    compile-failure retry, so this is a starting point, not a guarantee.
+    ``MH_FUSED_BLOCK`` overrides.
     """
     env = os.environ.get("MH_FUSED_BLOCK", "")
     if env:
         return int(env)
     if n <= 128:
-        return 128
-    if n <= 256:
         return 64
-    return max(8, 8192 // n)
+    if n <= 256:
+        return 32
+    return max(8, 4096 // n)
+
+
+# Default scoped-VMEM limit handed to Mosaic. 17 MB = XLA's 16 MB default
+# + 1 (the largest "free" raise); fused_vmem_estimate may raise it further
+# when even the floor block cannot fit. ~100 MB compiles and runs on v5e.
+DEFAULT_VMEM = 17 << 20
+MAX_VMEM = 96 << 20
+_BC_FLOOR = 8
+
+
+def fused_vmem_estimate(bc: int, n: int) -> int:
+    """Estimated scoped-VMEM bytes for one grid step of the fused kernel.
+
+    Explicit scratch (pose/aux/cur planes + the two [B, N/8, N] slab
+    states) is exact; Mosaic's on-stack temporaries are modeled as
+    ``q*n^2/8 + l*n`` f32 words per chain, calibrated against the one
+    hard measurement we have — the round-2 compile error's 18.85 MB at
+    B=128, n=128 (q~13, l~41; we use q=14, l=48 for margin). Used to
+    pre-shrink the chain block before compiling; the runtime retry in
+    ``_call_fused_protected`` catches what the model misses.
+    """
+    scratch_words = bc * (6 * n + LANE + (n * n) // 4)
+    temp_words = bc * (14 * (n * n) // 8 + 48 * n)
+    return 4 * (scratch_words + temp_words)
+
+
+def _fit_block_and_vmem(bc: int, n: int, vmem: int) -> tuple[int, int]:
+    """Shrink ``bc`` (then raise ``vmem``) until the estimate fits."""
+    while bc > _BC_FLOOR and fused_vmem_estimate(bc, n) > 0.92 * vmem:
+        bc //= 2
+    if fused_vmem_estimate(bc, n) > 0.92 * vmem:
+        vmem = min(int(fused_vmem_estimate(bc, n) / 0.85), MAX_VMEM)
+    return bc, vmem
 
 _NEG_HUGE = -1e30
 
@@ -1527,13 +1562,76 @@ def run_chains_fused(
     program is fetched from a per-shape runner cache, so repeat calls cost
     one executable dispatch (the first call per configuration traces and
     compiles once).
+
+    Self-protecting block sizing: the chain block starts from
+    ``block_chains(n)``, is pre-shrunk against a scoped-VMEM estimate
+    (``fused_vmem_estimate``), and — should the compiler still OOM — is
+    halved (then the VMEM limit raised) and retried until it compiles.
+    The proven (block, vmem) is persisted per shape so later processes
+    skip the failed compile. ``bc_override`` disables the retry (an
+    explicit block is a contract, e.g. for device-count invariance).
     """
-    runner, packed, _ = _get_runner(
-        scene, cfg, n_chains, iterations, interpret, incremental, bc_override
-    )
     n0 = scene.n_pad_objs
     p0 = pose0 if pose0.ndim == 3 else jnp.broadcast_to(pose0, (n_chains, n0, 6))
-    return runner(jnp.asarray([seed], jnp.int32), *_runner_args(packed, p0))
+
+    def invoke(runner, packed, bc):
+        return runner(jnp.asarray([seed], jnp.int32), *_runner_args(packed, p0))
+
+    return _call_fused_protected(
+        invoke, scene, cfg, n_chains, iterations, interpret, incremental,
+        bc_override,
+    )
+
+
+def _is_vmem_oom(e: Exception) -> bool:
+    msg = str(e)
+    return ("vmem" in msg.lower() and "out of memory" in msg.lower()) or (
+        "scoped vmem limit" in msg.lower()
+    )
+
+
+def _resolve_incremental(incremental: bool | None) -> bool:
+    if incremental is None:
+        incremental = os.environ.get("MH_FUSED_INCREMENTAL", "1") != "0"
+    return incremental and "sym" not in _DEBUG_SKIP
+
+
+def _call_fused_protected(
+    invoke, scene, cfg, n_chains, iterations, interpret, incremental,
+    bc_override,
+):
+    """Run ``invoke(runner, packed)``, halving the chain block (then raising
+    the scoped-VMEM limit) and retrying on a Mosaic scoped-VMEM OOM."""
+    incremental = _resolve_incremental(incremental)
+    bc_req, vmem_req = bc_override, None
+    while True:
+        runner, packed, bc, vmem = _get_runner(
+            scene, cfg, n_chains, iterations, interpret, incremental,
+            bc_req, vmem_override=vmem_req,
+        )
+        try:
+            out = invoke(runner, packed, bc)
+        except Exception as e:  # noqa: BLE001 — filtered just below
+            if interpret or bc_override is not None or not _is_vmem_oom(e):
+                raise
+            if bc > _BC_FLOOR:
+                bc_req, vmem_req = bc // 2, vmem
+            elif vmem < MAX_VMEM:
+                bc_req, vmem_req = bc, min(vmem * 2, MAX_VMEM)
+            else:
+                raise
+            import warnings
+
+            warnings.warn(
+                f"fused kernel scoped-VMEM OOM at block={bc}, "
+                f"vmem={vmem >> 20}M; retrying with block={bc_req}, "
+                f"vmem={vmem_req >> 20}M",
+                stacklevel=2,
+            )
+            continue
+        if not interpret and bc_override is None:
+            _record_fit(packed.n, cfg, incremental, bc, vmem)
+        return out
 
 
 def _runner_args(packed: PackedScene, p0: Array) -> tuple:
@@ -1553,6 +1651,54 @@ def _runner_args(packed: PackedScene, p0: Array) -> tuple:
     )
 
 
+# (block, vmem) pairs proven to compile at a given shape — in-memory plus a
+# best-effort JSON sidecar next to the JAX compilation cache, so a process
+# that follows a compile-failure retry starts from the proven fit instead
+# of re-paying the failed compile.
+_FIT_CACHE: dict = {}
+_FIT_PATH = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "mh_tpu_fused_fit.json"
+)
+_FIT_LOADED = False
+
+
+def _fit_key(n: int, cfg: SamplerConfig, incremental: bool) -> str:
+    return (
+        f"{n}:{int(incremental)}:{cfg.mode.name}:{cfg.n_moves_per_step}"
+        f":{cfg.accept_draws}:{int(cfg.adapt)}"
+        f":{os.environ.get('MH_FUSED_UNROLL', '')}"
+    )
+
+
+def _load_fits() -> None:
+    global _FIT_LOADED
+    if _FIT_LOADED:
+        return
+    _FIT_LOADED = True
+    try:
+        import json
+
+        with open(_FIT_PATH) as f:
+            _FIT_CACHE.update(json.load(f))
+    except Exception:  # noqa: BLE001 — sidecar is best-effort
+        pass
+
+
+def _record_fit(n: int, cfg: SamplerConfig, incremental: bool,
+                bc: int, vmem: int) -> None:
+    key = _fit_key(n, cfg, incremental)
+    if _FIT_CACHE.get(key) == [bc, vmem]:
+        return
+    _FIT_CACHE[key] = [bc, vmem]
+    try:
+        import json
+
+        with open(_FIT_PATH, "w") as f:
+            json.dump(_FIT_CACHE, f)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def _get_runner(
     scene: Scene,
     cfg: SamplerConfig,
@@ -1561,17 +1707,29 @@ def _get_runner(
     interpret: bool,
     incremental: bool | None,
     bc_override: int | None,
+    vmem_override: int | None = None,
 ):
     """Fetch/compile the per-shape jitted fused runner (see _RUNNER_CACHE)."""
-    if incremental is None:
-        incremental = os.environ.get("MH_FUSED_INCREMENTAL", "1") != "0"
-    incremental = incremental and "sym" not in _DEBUG_SKIP
+    incremental = _resolve_incremental(incremental)
     packed = pack_scene(scene, cfg)
     n = packed.n
     n0 = scene.n_pad_objs
-    bc = bc_override or min(block_chains(n), n_chains)
-    while bc > 8 and n_chains % bc:
+    vmem = vmem_override or int(os.environ.get("MH_FUSED_VMEM", DEFAULT_VMEM))
+    if bc_override:
+        bc = bc_override
+    elif interpret:
+        bc = min(block_chains(n), n_chains)
+    else:
+        _load_fits()
+        proven = _FIT_CACHE.get(_fit_key(n, cfg, incremental))
+        if proven and vmem_override is None and "MH_FUSED_VMEM" not in os.environ:
+            bc, vmem = int(proven[0]), int(proven[1])
+        else:
+            bc = min(block_chains(n), n_chains)
+            bc, vmem = _fit_block_and_vmem(bc, n, vmem)
+    while bc > _BC_FLOOR and n_chains % bc:
         bc //= 2
+    bc = min(bc, n_chains)
     if n_chains % bc:
         raise ValueError(f"n_chains must be a multiple of {bc}")
 
@@ -1588,7 +1746,7 @@ def _get_runner(
         packed.rel_src_oh.shape, packed.rel_params.shape,
         packed.ang_src_oh.shape, packed.ang_params.shape,
         packed.clr_src_oh.shape, packed.clr_params.shape,
-        int(os.environ.get("MH_FUSED_VMEM", 17 << 20)),
+        vmem,
         os.environ.get("MH_FUSED_UNROLL", ""),
     )
     runner = _RUNNER_CACHE.get(cache_key)
@@ -1600,7 +1758,7 @@ def _get_runner(
             accept_draws=cfg.accept_draws,
             clr_unroll=clr_unroll, n_clr_real=packed.n_clr_real,
             clr_anchors=packed.clr_anchors, interpret=interpret,
-            vmem_bytes=int(os.environ.get("MH_FUSED_VMEM", 17 << 20)),
+            vmem_bytes=vmem,
             rel_shape=packed.rel_src_oh.shape,
             relp_shape=packed.rel_params.shape,
             ang_shape=packed.ang_src_oh.shape,
@@ -1609,7 +1767,7 @@ def _get_runner(
             clrp_shape=packed.clr_params.shape,
         )
         _RUNNER_CACHE[cache_key] = runner
-    return runner, packed, bc
+    return runner, packed, bc, vmem
 
 
 def run_chains_fused_sharded(
@@ -1647,30 +1805,36 @@ def run_chains_fused_sharded(
     if n_chains % n_dev:
         raise ValueError(f"n_chains={n_chains} not divisible by mesh {n_dev}")
     n_local = n_chains // n_dev
-    runner, packed, bc = _get_runner(
-        scene, cfg, n_local, iterations, interpret, incremental, bc_override
-    )
-    blocks_local = n_local // bc
     n0 = scene.n_pad_objs
     p0 = pose0 if pose0.ndim == 3 else jnp.broadcast_to(pose0, (n_chains, n0, 6))
 
-    def device_fn(p0_local, *scene_args):
-        dev = jax.lax.axis_index(CHAINS_AXIS)
-        seed_arr = jnp.asarray([seed], jnp.int32) + (
-            dev * blocks_local
-        ).astype(jnp.int32)
-        return runner(seed_arr, scene_args[0], scene_args[1], p0_local,
-                      *scene_args[2:])
+    def invoke(runner, packed, bc):
+        blocks_local = n_local // bc
 
-    sharded = jax.shard_map(
-        device_fn,
-        mesh=mesh,
-        in_specs=(P(CHAINS_AXIS),) + (P(),) * 11,
-        out_specs=(P(CHAINS_AXIS), P(CHAINS_AXIS), P(CHAINS_AXIS), P(CHAINS_AXIS)),
-        check_vma=False,
+        def device_fn(p0_local, *scene_args):
+            dev = jax.lax.axis_index(CHAINS_AXIS)
+            seed_arr = jnp.asarray([seed], jnp.int32) + (
+                dev * blocks_local
+            ).astype(jnp.int32)
+            return runner(seed_arr, scene_args[0], scene_args[1], p0_local,
+                          *scene_args[2:])
+
+        sharded = jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P(CHAINS_AXIS),) + (P(),) * 11,
+            out_specs=(
+                P(CHAINS_AXIS), P(CHAINS_AXIS), P(CHAINS_AXIS), P(CHAINS_AXIS)
+            ),
+            check_vma=False,
+        )
+        args = _runner_args(packed, p0)
+        # reorder: p0 (sharded) first, then the replicated scene operands
+        return sharded(args[2], args[0], args[1], *args[3:])
+
+    return _call_fused_protected(
+        invoke, scene, cfg, n_local, iterations, interpret, incremental,
+        bc_override,
     )
-    args = _runner_args(packed, p0)
-    # reorder: p0 (sharded) first, then the replicated scene operands
-    return sharded(args[2], args[0], args[1], *args[3:])
 
 
