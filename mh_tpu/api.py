@@ -56,6 +56,7 @@ def suggest_layouts(
     engine: str = "auto",
     mesh=None,
     serve: bool = False,
+    objs_devices: int | None = None,
 ) -> LayoutResult:
     """Run ``cfg.n_chains`` MH chains and return their final layouts.
 
@@ -88,6 +89,14 @@ def suggest_layouts(
     (XLA: keys fold from global chain ids; fused: kernel PRNG seeds fold
     from global block ids), so results are bitwise identical to the
     single-device path.
+
+    ``objs_devices``: shard the O(N^2) objective *within* each chain over
+    this many devices (huge-scene model parallelism — the answer to the
+    reference's N^2 scaling complaint, ``Readme.md:6``; the symmetry /
+    off-limits matrices ``Kernel.cu:283-318,485-514`` are row-sharded and
+    psum-reduced over ICI each step). Builds a 2-D (chains x objs) mesh
+    from the visible devices; pass a 2-D ``mesh`` (with chains and objs
+    axes) instead for explicit placement. Implies the XLA engine.
     """
     if isinstance(scene, SceneSpec):
         spec = scene
@@ -96,6 +105,26 @@ def suggest_layouts(
             pose0 = spec.initial_pose()
     if pose0 is None:
         raise ValueError("pose0 is required when passing a built Scene")
+
+    # 2-D (chains x objs) dispatch: either requested by count or implied by
+    # a mesh that carries the objs axis
+    from mh_tpu.parallel.objshard import OBJS_AXIS
+
+    if mesh is not None and OBJS_AXIS in mesh.shape and mesh.shape[OBJS_AXIS] > 1:
+        return _run_objsharded(scene, cfg, key, pose0, mesh, engine)
+    if objs_devices and objs_devices > 1:
+        from mh_tpu.parallel.objshard import chain_obj_mesh
+
+        n_dev = jax.device_count()
+        if mesh is not None:
+            raise ValueError("pass either objs_devices or a 2-D mesh, not both")
+        if n_dev % objs_devices:
+            raise ValueError(
+                f"objs_devices={objs_devices} does not divide the "
+                f"{n_dev} visible devices"
+            )
+        mesh2d = chain_obj_mesh(n_dev // objs_devices, objs_devices)
+        return _run_objsharded(scene, cfg, key, pose0, mesh2d, engine)
 
     # the fused kernel supports compound block proposals (n_moves_per_step
     # sequential moves per accept, like the reference's blockxDim threads)
@@ -155,6 +184,28 @@ def suggest_layouts(
             f"unknown engine {engine!r} (use 'xla', 'xla_specialized' or 'fused')"
         )
     return _run_xla(scene, cfg, key, pose0, engine, mesh)
+
+
+def _run_objsharded(scene, cfg, key, pose0, mesh2d, engine) -> LayoutResult:
+    """Huge-scene 2-D (chains x objs) mesh dispatch (model parallelism)."""
+    if engine not in ("auto", "xla"):
+        raise ValueError(
+            f"objs-sharded sampling uses the XLA engine (got {engine!r})"
+        )
+    if np.ndim(pose0) != 2:
+        raise ValueError("objs-sharded sampling needs one shared pose0 f32[N,6]")
+    from mh_tpu.parallel.objshard import run_chains_objsharded
+
+    if isinstance(key, int):
+        key = jax.random.key(key)
+    state = run_chains_objsharded(key, pose0, scene, cfg, mesh2d)
+    n_real = int(np.sum(np.asarray(scene.obj_mask) > 0))
+    return LayoutResult(
+        points=np.asarray(state.pose)[:, :n_real, :],
+        costs=np.asarray(state.costs.as_vector()),
+        accept_rate=np.asarray(state.accept_rate),
+        step_scale=np.exp(np.asarray(state.log_scale)),
+    )
 
 
 def _run_fused(scene, cfg, key, pose0, mesh) -> LayoutResult:

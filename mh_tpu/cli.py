@@ -67,7 +67,7 @@ def cmd_suggest(args) -> int:
     spec = load_scene(args.scene) if args.scene else demo_scene(args.objects)
     res = suggest_layouts(
         spec, _sampler_config(args), key=args.seed, engine=args.engine,
-        serve=args.serve,
+        serve=args.serve, objs_devices=args.objs_devices,
     )
     out = {
         "points": np.asarray(res.points, np.float64).tolist(),
@@ -195,6 +195,11 @@ def main(argv=None) -> int:
         "--serve", action="store_true",
         help="scene will be sampled repeatedly: let auto pick the "
              "scene-specialized engine (one compile per scene)",
+    )
+    p.add_argument(
+        "--objs-devices", type=int, default=None,
+        help="shard the O(N^2) objective within each chain over this many "
+             "devices (huge-scene model parallelism; 2-D chains x objs mesh)",
     )
     _add_sampler_flags(p)
     p.set_defaults(fn=cmd_suggest)

@@ -108,3 +108,30 @@ def test_suggest_layouts_mesh_sharding_invariant():
     with pytest.raises(ValueError, match="pose0"):
         suggest_layouts(spec, cfg, key=3, pose0=per_chain_pose0,
                         mesh=chain_mesh(8))
+
+
+def test_suggest_layouts_objsharded_huge_scene():
+    """Huge-scene model parallelism is reachable from the public API: a
+    2048-object scene sampled via objs_devices= (2-D chains x objs mesh)
+    without importing mh_tpu.parallel.objshard directly, matching the
+    library-level path bitwise."""
+    import pytest
+
+    from mh_tpu.parallel.objshard import chain_obj_mesh
+
+    spec = demo_scene(2048)
+    cfg = SamplerConfig(iterations=3, n_chains=2)
+    res = suggest_layouts(spec, cfg, key=1, objs_devices=4)
+    assert res.points.shape == (2, 2048, 6)
+    assert np.isfinite(res.points).all()
+    assert np.isfinite(res.costs).all()
+
+    # explicit 2-D mesh dispatch, same results (proposals keyed from global
+    # chain ids — objs-axis split cannot change the stream)
+    res2 = suggest_layouts(spec, cfg, key=1, mesh=chain_obj_mesh(2, 2))
+    np.testing.assert_array_equal(res.points, res2.points)
+
+    with pytest.raises(ValueError, match="XLA engine"):
+        suggest_layouts(spec, cfg, key=1, objs_devices=4, engine="fused")
+    with pytest.raises(ValueError, match="divide"):
+        suggest_layouts(spec, cfg, key=1, objs_devices=3)
