@@ -131,35 +131,18 @@ def suggest_layouts(
     # and per-chain Robbins-Monro step-size adaptation in-kernel
     auto_chosen = False
     if engine == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        # Two measured crossovers (linearity-fit slopes, 2026-08-19, v5e,
-        # 1024 chains; docs/API.md "Engine crossover" table):
-        #  - vs the UNSPECIALIZED run_chains scan (what auto uses for
-        #    one-shot calls): fused wins above ~104 padded objects
-        #    (XLA 0.117 ms/step at 100 objs vs fused 0.147; XLA 0.191 at
-        #    128 vs fused 0.147; XLA 0.565 at 256 vs fused 0.233).
-        #  - vs the SPECIALIZED scan (scene baked in as constants; one
-        #    fresh compile per scene): specialized stays faster until ~165
-        #    padded objects (0.083 at 100 objs). ``serve=True`` declares
-        #    the scene will be sampled repeatedly, making the per-scene
-        #    compile worth it — auto then serves xla_specialized in the
-        #    <=160-object regime instead of the slower generic scan.
-        chains_fit = cfg.n_chains % 8 == 0
         n_dev = jax.device_count() if mesh is None else int(
             np.prod(list(mesh.shape.values()))
         )
-        single_dev = mesh is None and n_dev == 1
-        # multi-device: the fused kernel runs sharded over the chains axis
-        # (scene replicated, per-device seed bases folded from global block
-        # ids — device-count invariant); chains must split evenly
-        multi_ok = cfg.n_chains % n_dev == 0 and np.ndim(pose0) == 2
-        fused_ok = on_tpu and chains_fit and (single_dev or multi_ok)
-        if serve and single_dev and scene.n_pad_objs <= 160:
-            engine = "xla_specialized"
-        elif fused_ok and scene.n_pad_objs > (160 if serve else 104):
-            engine = "fused"
-        else:
-            engine = "xla"
+        engine = auto_engine(
+            on_tpu=jax.default_backend() in ("tpu", "axon"),
+            serve=serve,
+            n_pad_objs=scene.n_pad_objs,
+            n_chains=cfg.n_chains,
+            n_dev=n_dev,
+            explicit_mesh=mesh is not None,
+            shared_pose0=np.ndim(pose0) == 2,
+        )
         auto_chosen = True
 
     if engine == "fused":
@@ -184,6 +167,53 @@ def suggest_layouts(
             f"unknown engine {engine!r} (use 'xla', 'xla_specialized' or 'fused')"
         )
     return _run_xla(scene, cfg, key, pose0, engine, mesh)
+
+
+def auto_engine(
+    *,
+    on_tpu: bool,
+    serve: bool,
+    n_pad_objs: int,
+    n_chains: int,
+    n_dev: int,
+    explicit_mesh: bool,
+    shared_pose0: bool,
+) -> str:
+    """The ``engine="auto"`` decision, as a pure function of the context.
+
+    Two measured crossovers (linearity-fit slopes, v5e, 1024 chains;
+    docs/API.md "Engine crossover" table — re-derived each round):
+
+    - vs the UNSPECIALIZED ``run_chains`` scan (what auto uses for
+      one-shot calls): the fused Pallas kernel wins above
+      ``FUSED_CROSSOVER`` padded objects (its incremental-symmetry update
+      is O(N) per step vs the scan's O(N^2)).
+    - vs the SPECIALIZED scan (scene baked in as constants; one fresh
+      compile per scene): specialized stays faster until
+      ``SERVE_CROSSOVER`` padded objects. ``serve=True`` declares the
+      scene will be sampled repeatedly, making the per-scene compile
+      worth it — auto then serves xla_specialized below the crossover.
+
+    Device counts: every returned engine serves any ``n_dev`` (the fused
+    kernel runs sharded over the chains axis — scene replicated, seeds
+    folded from global block ids, device-count invariant) as long as the
+    chains split evenly from one shared pose0; otherwise auto falls back
+    to the generic scan, which handles every configuration.
+    """
+    chains_fit = n_chains % 8 == 0
+    single_dev = not explicit_mesh and n_dev == 1
+    multi_ok = n_chains % max(n_dev, 1) == 0 and shared_pose0
+    fused_ok = on_tpu and chains_fit and (single_dev or multi_ok)
+    if serve and single_dev and n_pad_objs <= SERVE_CROSSOVER:
+        return "xla_specialized"
+    if fused_ok and n_pad_objs > (SERVE_CROSSOVER if serve else FUSED_CROSSOVER):
+        return "fused"
+    return "xla"
+
+
+# measured engine crossovers in padded object lanes (docs/API.md table)
+FUSED_CROSSOVER = 104
+SERVE_CROSSOVER = 160
 
 
 def _run_objsharded(scene, cfg, key, pose0, mesh2d, engine) -> LayoutResult:

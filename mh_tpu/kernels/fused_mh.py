@@ -332,7 +332,7 @@ def _uniform_sw(base, shape):
 
 
 def _fused_kernel(
-    seed_ref,  # SMEM i32[1]
+    seed_ref,  # SMEM i32[2]: [seed, iteration count]
     scal_ref,  # SMEM f32[N_SCALARS]
     clr_scal_ref,  # SMEM f32[CLR_UNROLL_MAX*8] (unrolled clearance params)
     pose_ref,  # VMEM f32[6, B, N] (aliased in/out)
@@ -343,7 +343,6 @@ def _fused_kernel(
     pose_out_ref,  # VMEM f32[6, B, N]
     stats_ref,  # VMEM f32[B, LANE]: 0..7 breakdown, 8 n_accept
     *,
-    iterations: int,
     mode: CostMode,
     n: int,
     report_offlimits: bool,
@@ -1148,13 +1147,18 @@ def _fused_kernel(
                 )
             return 0
 
-        def one_step(us):
+        def one_step(us, active):
             """One MH iteration driven by a pre-drawn lane block ``us``
             ([B, 8] for accept_draws == 1, [B, 8+K] otherwise). The caller
             amortizes one on-chip [B, LANE] PRNG draw over LANE//lanes
             steps via static lane slices — the per-iteration random-bit
             volume was ~14% of the headline step time when drawn per step
-            (MH_FUSED_SKIP=rng ablation, 2026-08-20)."""
+            (MH_FUSED_SKIP=rng ablation, 2026-08-20).
+
+            ``active`` (traced scalar bool) gates acceptance: the dynamic
+            iteration count rounds up to whole draw blocks, and the tail
+            steps past the requested count must not commit state (they
+            still burn a few step-evals, <=unroll-1 of them total)."""
             x = x_s[:, :]
             y = y_s[:, :]
             rot = rot_s[:, :]
@@ -1292,7 +1296,7 @@ def _fused_kernel(
                 total_star = total_star + w_ol * off_star
             cur = cur_s[:, 0:1]
             ratio = jnp.exp(jnp.minimum(beta * (total_star - cur), 0.0))
-            acc_b = (u_acc < ratio) & (gate > 0)  # [B,1] bool
+            acc_b = (u_acc < ratio) & (gate > 0) & active  # [B,1] bool
             acc = acc_b.astype(jnp.float32)
 
             # where-selects keep the stored state bitwise equal to the star
@@ -1339,10 +1343,17 @@ def _fused_kernel(
             cur_s[:, 0:1] = jnp.where(acc_b, total_star, cur)
             cur_s[:, 1:2] = cur_s[:, 1:2] + acc
             if adapt:
-                cur_s[:, 2:3] = cur_s[:, 2:3] + adapt_rate * (
-                    acc - target_acc
+                # phantom tail steps (active=False) must not move the
+                # Robbins-Monro state either
+                cur_s[:, 2:3] = cur_s[:, 2:3] + jnp.where(
+                    active, adapt_rate * (acc - target_acc), 0.0
                 )
 
+        # iteration count is a RUNTIME scalar (SMEM prefetch): one compiled
+        # executable serves every chain-length — a compile takes 1-3 min
+        # over the TPU tunnel and the old static count recompiled per
+        # length (3x per linearity fit, once per budget change in serving)
+        it_count = seed_ref[1]
         if moves_per_step == 1:
             # Amortize one [B, LANE] on-chip PRNG draw over `unroll` MH
             # steps (static lane slices; the steps stay sequentially
@@ -1356,18 +1367,18 @@ def _fused_kernel(
 
             def iter_block(t, _):
                 us_blk = draw_block()
+                base = t * unroll
                 for j in range(unroll):
-                    one_step(us_blk[:, j * lanes : j * lanes + lanes])
+                    one_step(
+                        us_blk[:, j * lanes : j * lanes + lanes],
+                        base + j < it_count,
+                    )
                 return 0
 
-            jax.lax.fori_loop(0, iterations // unroll, iter_block, 0)
-            rem = iterations % unroll
-            if rem:
-                us_blk = draw_block()
-                for j in range(rem):
-                    one_step(us_blk[:, j * lanes : j * lanes + lanes])
+            n_blocks = (it_count + unroll - 1) // unroll
+            jax.lax.fori_loop(0, n_blocks, iter_block, 0)
         else:
-            jax.lax.fori_loop(0, iterations, iter_body_multi, 0)
+            jax.lax.fori_loop(0, it_count, iter_body_multi, 0)
 
         # final breakdown for reporting. Symmetry comes from the carried
         # slab maxima when incremental (bitwise-equal to a full eval);
@@ -1433,7 +1444,6 @@ def _fused_runner(
     n0: int,
     n_chains: int,
     bc: int,
-    iterations: int,
     mode: CostMode,
     incremental: bool,
     moves_per_step: int,
@@ -1456,7 +1466,6 @@ def _fused_runner(
 
     kernel = functools.partial(
         _fused_kernel,
-        iterations=iterations,
         mode=mode,
         n=n,
         report_offlimits=True,
@@ -1575,10 +1584,13 @@ def run_chains_fused(
     p0 = pose0 if pose0.ndim == 3 else jnp.broadcast_to(pose0, (n_chains, n0, 6))
 
     def invoke(runner, packed, bc):
-        return runner(jnp.asarray([seed], jnp.int32), *_runner_args(packed, p0))
+        return runner(
+            jnp.asarray([seed, iterations], jnp.int32),
+            *_runner_args(packed, p0),
+        )
 
     return _call_fused_protected(
-        invoke, scene, cfg, n_chains, iterations, interpret, incremental,
+        invoke, scene, cfg, n_chains, interpret, incremental,
         bc_override,
     )
 
@@ -1597,7 +1609,7 @@ def _resolve_incremental(incremental: bool | None) -> bool:
 
 
 def _call_fused_protected(
-    invoke, scene, cfg, n_chains, iterations, interpret, incremental,
+    invoke, scene, cfg, n_chains, interpret, incremental,
     bc_override,
 ):
     """Run ``invoke(runner, packed)``, halving the chain block (then raising
@@ -1606,7 +1618,7 @@ def _call_fused_protected(
     bc_req, vmem_req = bc_override, None
     while True:
         runner, packed, bc, vmem = _get_runner(
-            scene, cfg, n_chains, iterations, interpret, incremental,
+            scene, cfg, n_chains, interpret, incremental,
             bc_req, vmem_override=vmem_req,
         )
         try:
@@ -1703,7 +1715,6 @@ def _get_runner(
     scene: Scene,
     cfg: SamplerConfig,
     n_chains: int,
-    iterations: int,
     interpret: bool,
     incremental: bool | None,
     bc_override: int | None,
@@ -1740,7 +1751,7 @@ def _get_runner(
         )
     clr_unroll = packed.n_clr_real <= CLR_UNROLL_MAX
     cache_key = (
-        n, n0, n_chains, bc, iterations, cfg.mode, incremental,
+        n, n0, n_chains, bc, cfg.mode, incremental,
         cfg.n_moves_per_step, cfg.adapt, cfg.accept_draws, interpret,
         clr_unroll, packed.n_clr_real, packed.clr_anchors,
         packed.rel_src_oh.shape, packed.rel_params.shape,
@@ -1752,7 +1763,7 @@ def _get_runner(
     runner = _RUNNER_CACHE.get(cache_key)
     if runner is None:
         runner = _fused_runner(
-            n=n, n0=n0, n_chains=n_chains, bc=bc, iterations=iterations,
+            n=n, n0=n0, n_chains=n_chains, bc=bc,
             mode=cfg.mode, incremental=incremental,
             moves_per_step=cfg.n_moves_per_step, adapt=cfg.adapt,
             accept_draws=cfg.accept_draws,
@@ -1813,9 +1824,9 @@ def run_chains_fused_sharded(
 
         def device_fn(p0_local, *scene_args):
             dev = jax.lax.axis_index(CHAINS_AXIS)
-            seed_arr = jnp.asarray([seed], jnp.int32) + (
-                dev * blocks_local
-            ).astype(jnp.int32)
+            seed_arr = jnp.asarray([seed, iterations], jnp.int32) + jnp.stack(
+                [(dev * blocks_local).astype(jnp.int32), jnp.int32(0)]
+            )
             return runner(seed_arr, scene_args[0], scene_args[1], p0_local,
                           *scene_args[2:])
 
@@ -1833,7 +1844,7 @@ def run_chains_fused_sharded(
         return sharded(args[2], args[0], args[1], *args[3:])
 
     return _call_fused_protected(
-        invoke, scene, cfg, n_local, iterations, interpret, incremental,
+        invoke, scene, cfg, n_local, interpret, incremental,
         bc_override,
     )
 

@@ -135,3 +135,34 @@ def test_suggest_layouts_objsharded_huge_scene():
         suggest_layouts(spec, cfg, key=1, objs_devices=4, engine="fused")
     with pytest.raises(ValueError, match="divide"):
         suggest_layouts(spec, cfg, key=1, objs_devices=3)
+
+
+def test_auto_engine_dispatch_table():
+    """Pin the auto-engine decision across {1, >1} devices x {one-shot,
+    serve} (docs/API.md "Auto dispatch" table)."""
+    from mh_tpu.api import FUSED_CROSSOVER, SERVE_CROSSOVER, auto_engine
+
+    base = dict(on_tpu=True, serve=False, n_chains=1024, n_dev=1,
+                explicit_mesh=False, shared_pose0=True)
+
+    # single device, one-shot: scan below the fused crossover, fused above
+    assert auto_engine(**{**base, "n_pad_objs": FUSED_CROSSOVER}) == "xla"
+    assert auto_engine(**{**base, "n_pad_objs": FUSED_CROSSOVER + 1}) == "fused"
+    # single device, serving: specialized below its crossover, fused above
+    assert auto_engine(
+        **{**base, "serve": True, "n_pad_objs": SERVE_CROSSOVER}
+    ) == "xla_specialized"
+    assert auto_engine(
+        **{**base, "serve": True, "n_pad_objs": SERVE_CROSSOVER + 1}
+    ) == "fused"
+    # multi-device: fused stays available via the sharded kernel (chains
+    # split evenly, one shared pose0) — the round-2 auto served the slow
+    # generic scan on any pod
+    multi = {**base, "n_dev": 8, "n_pad_objs": 256}
+    assert auto_engine(**multi) == "fused"
+    assert auto_engine(**{**multi, "serve": True}) == "fused"
+    # chains that don't split, or per-chain starts: generic scan
+    assert auto_engine(**{**multi, "n_chains": 1023}) == "xla"
+    assert auto_engine(**{**multi, "shared_pose0": False}) == "xla"
+    # off-TPU there is no fused kernel
+    assert auto_engine(**{**base, "on_tpu": False, "n_pad_objs": 512}) == "xla"
