@@ -104,15 +104,17 @@ def bench_layout(n_objs: int, n_chains: int, iterations: int, n_moves: int = 1) 
     scene = spec.build()
     key = jax.random.key(0)
     pose0 = spec.initial_pose()
-    runners = {}
+    # scene-specialized runner (production path for a fixed scene); the
+    # iteration count is a runtime value, so one compile serves all three
+    # linearity-fit lengths
+    runner = compile_chains(
+        scene,
+        SamplerConfig(iterations=iterations, n_chains=n_chains,
+                      n_moves_per_step=n_moves),
+    )
 
     def run(iters):
-        # scene-specialized runner (production path for a fixed scene)
-        if iters not in runners:
-            cfg = SamplerConfig(iterations=iters, n_chains=n_chains,
-                                n_moves_per_step=n_moves)
-            runners[iters] = compile_chains(scene, cfg)
-        states, _ = runners[iters](key, pose0)
+        states, _ = runner(key, pose0, iterations=iters)
         # host pull forces real completion on axon
         np.asarray(states.pose)
         return states

@@ -158,12 +158,26 @@ def _run_chain_impl(
     trace_costs: bool = False,
     trace_poses: bool = False,
     thin: int = 1,
+    n_steps: Array | None = None,
 ):
+    """One chain. ``n_steps`` (traced scalar) replaces ``cfg.iterations``
+    on the trace-free path so one compiled program serves every chain
+    length; traces need a static scan length and keep ``cfg.iterations``.
+    """
     if thin < 1 or cfg.iterations % thin:
         raise ValueError(
             f"thin={thin} must be >= 1 and divide iterations={cfg.iterations}"
         )
     state = mh_init(pose0, scene, key, cfg.mode)
+
+    if not (trace_costs or trace_poses) and thin == 1:
+        state = jax.lax.fori_loop(
+            0,
+            cfg.iterations if n_steps is None else n_steps,
+            lambda _, s: mh_step(s, scene, cfg),
+            state,
+        )
+        return finalize_costs(state, scene, cfg), None
 
     def body(s, _):
         if thin == 1:
@@ -188,7 +202,22 @@ def _run_chain_impl(
     return finalize_costs(state, scene, cfg), trace
 
 
+def _strip_iterations(cfg: SamplerConfig) -> SamplerConfig:
+    """The jit-static config with the (dynamic) iteration count removed —
+    every chain length then shares one compiled executable (a compile is
+    1-3 min over the TPU tunnel)."""
+    return dataclasses.replace(cfg, iterations=0)
+
+
 @partial(jax.jit, static_argnames=("cfg", "trace_costs", "trace_poses", "thin"))
+def _run_chain_jit(key, pose0, scene, n_steps, cfg, trace_costs, trace_poses,
+                   thin):
+    return _run_chain_impl(
+        key, pose0, scene, cfg, trace_costs, trace_poses, thin,
+        n_steps=n_steps,
+    )
+
+
 def run_chain(
     key: Array,
     pose0: Array,
@@ -206,13 +235,39 @@ def run_chain(
     keeps every ``thin``-th step only (must divide ``iterations``) — for
     posterior moments at large iteration counts prefer
     :func:`run_chains_streaming`, which needs no trace memory at all.
+
+    Trace-free runs treat the iteration count as a runtime value: calls
+    that differ only in ``cfg.iterations`` share one compiled program.
     """
-    return _run_chain_impl(
-        key, pose0, scene, cfg, trace_costs, trace_poses, thin
+    if trace_costs or trace_poses:
+        return _run_chain_jit(
+            key, pose0, scene, None, cfg, trace_costs, trace_poses, thin
+        )
+    return _run_chain_jit(
+        key, pose0, scene, jnp.int32(cfg.iterations), _strip_iterations(cfg),
+        False, False, 1,
     )
 
 
 @partial(jax.jit, static_argnames=("cfg", "trace_costs", "trace_poses", "thin"))
+def _run_chains_jit(key, pose0, scene, n_steps, cfg, trace_costs,
+                    trace_poses, thin):
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(cfg.n_chains)
+    )
+    if pose0.ndim == 2:
+        pose0 = jnp.broadcast_to(pose0, (cfg.n_chains, *pose0.shape))
+    # vmap the unjitted impl: a nested jit under vmap becomes an XLA
+    # subcomputation boundary that blocks cross-step fusion (~35% slower
+    # on v5e, measured at the headline config).
+    return jax.vmap(
+        lambda k, p: _run_chain_impl(
+            k, p, scene, cfg, trace_costs, trace_poses, thin,
+            n_steps=n_steps,
+        )
+    )(keys, pose0)
+
+
 def run_chains(
     key: Array,
     pose0: Array,
@@ -227,23 +282,33 @@ def run_chains(
     ``pose0`` is either ``f32[N,6]`` (every chain starts from the same
     config, like the reference's grid of blocks over one input ``cfg``) or
     ``f32[n_chains,N,6]`` for per-chain starts.
+
+    Trace-free runs treat the iteration count as a runtime value: calls
+    that differ only in ``cfg.iterations`` share one compiled program
+    (bitwise-identical results either way).
     """
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-        jnp.arange(cfg.n_chains)
-    )
-    if pose0.ndim == 2:
-        pose0 = jnp.broadcast_to(pose0, (cfg.n_chains, *pose0.shape))
-    # vmap the unjitted impl: a nested jit under vmap becomes an XLA
-    # subcomputation boundary that blocks cross-step fusion (~35% slower
-    # on v5e, measured at the headline config).
-    return jax.vmap(
-        lambda k, p: _run_chain_impl(
-            k, p, scene, cfg, trace_costs, trace_poses, thin
+    if trace_costs or trace_poses:
+        return _run_chains_jit(
+            key, pose0, scene, None, cfg, trace_costs, trace_poses, thin
         )
-    )(keys, pose0)
+    return _run_chains_jit(
+        key, pose0, scene, jnp.int32(cfg.iterations), _strip_iterations(cfg),
+        False, False, 1,
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def _continue_chains_jit(states: MHState, scene: Scene, n_steps,
+                         cfg: SamplerConfig) -> MHState:
+    def one(s):
+        s = jax.lax.fori_loop(
+            0, n_steps, lambda _, ss: mh_step(ss, scene, cfg), s
+        )
+        return finalize_costs(s, scene, cfg)
+
+    return jax.vmap(one)(states)
+
+
 def continue_chains(states: MHState, scene: Scene, cfg: SamplerConfig) -> MHState:
     """Continue vmapped chains from an existing state for ``cfg.iterations``
     more steps — the resume half of checkpoint/resume (SURVEY.md §5).
@@ -253,15 +318,9 @@ def continue_chains(states: MHState, scene: Scene, cfg: SamplerConfig) -> MHStat
     restored chain consumes exactly the random stream the interrupted one
     would have.
     """
-
-    def one(s):
-        def body(ss, _):
-            return mh_step(ss, scene, cfg), None
-
-        s, _ = jax.lax.scan(body, s, None, length=cfg.iterations)
-        return finalize_costs(s, scene, cfg)
-
-    return jax.vmap(one)(states)
+    return _continue_chains_jit(
+        states, scene, jnp.int32(cfg.iterations), _strip_iterations(cfg)
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -371,10 +430,14 @@ def compile_chains(
 
     Bitwise-identical results to ``run_chains`` (same key folding, same
     program semantics) — pinned by ``test_compile_chains_matches_run_chains``.
+
+    Trace-free runners take an optional ``iterations=`` override per call
+    (a runtime value — no recompile when the budget changes).
     """
+    traced = trace_costs or trace_poses
 
     @jax.jit
-    def runner(key: Array, pose0: Array):
+    def _runner(key: Array, pose0: Array, n_steps):
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
             jnp.arange(cfg.n_chains)
         )
@@ -382,8 +445,20 @@ def compile_chains(
             pose0 = jnp.broadcast_to(pose0, (cfg.n_chains, *pose0.shape))
         return jax.vmap(
             lambda k, p: _run_chain_impl(
-                k, p, scene, cfg, trace_costs, trace_poses, thin
+                k, p, scene, cfg, trace_costs, trace_poses, thin,
+                n_steps=n_steps,
             )
         )(keys, pose0)
+
+    def runner(key: Array, pose0: Array, iterations: int | None = None):
+        if traced:
+            if iterations is not None:
+                raise ValueError(
+                    "iterations override needs a trace-free runner "
+                    "(traces fix the scan length at compile time)"
+                )
+            return _runner(key, pose0, None)
+        its = cfg.iterations if iterations is None else iterations
+        return _runner(key, pose0, jnp.int32(its))
 
     return runner
