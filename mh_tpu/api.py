@@ -211,9 +211,13 @@ def auto_engine(
     return "xla"
 
 
-# measured engine crossovers in padded object lanes (docs/API.md table)
+# Measured engine crossovers in padded object lanes (docs/API.md "Engine
+# crossover" table, round-3 linearity fits, v5e, 2026-08-21): the fused
+# kernel beats the generic scan from ~104 lanes (0.111 vs 0.114 ms/step at
+# 100 objs) and the scene-specialized scan above one object tile (0.142 vs
+# 0.178 at 128 lanes; 0.203 vs 0.631 at 256).
 FUSED_CROSSOVER = 104
-SERVE_CROSSOVER = 160
+SERVE_CROSSOVER = 104
 
 
 def _run_objsharded(scene, cfg, key, pose0, mesh2d, engine) -> LayoutResult:

@@ -51,10 +51,14 @@ def block_chains(n: int) -> int:
     The round-2 kernel (deferred-commit symmetry + batched gathers) needs
     ~147 KB of scoped VMEM per chain at n=128, so B=128 no longer fits the
     default 17 MB limit (the round-2 bench OOM); B=64 is the largest block
-    that does. The final block is further shrunk by the fit check in
-    :func:`_get_runner` (``fused_vmem_estimate``) and by the runtime
-    compile-failure retry, so this is a starting point, not a guarantee.
-    ``MH_FUSED_BLOCK`` overrides.
+    that does. Round-3 linearity fits at the headline shape (n=128, 1024
+    chains, v5e, 2026-08-21): B=32: 0.140, B=64: 0.124, B=128 (32M vmem):
+    0.119 ms/step — B=128's ~4% win is not worth the 2x scratch and the
+    10x longer Mosaic compile, so the default stays 64. The final block is
+    further shrunk by the fit check in :func:`_get_runner`
+    (``fused_vmem_estimate``) and by the runtime compile-failure retry, so
+    this is a starting point, not a guarantee. ``MH_FUSED_BLOCK``
+    overrides.
     """
     env = os.environ.get("MH_FUSED_BLOCK", "")
     if env:
@@ -354,6 +358,7 @@ def _fused_kernel(
     clr_anchors: tuple = (),
     accept_draws: int = 1,
     sw_rng: bool = False,
+    defer_commit: bool = False,
 ):
     B = pose_ref.shape[1]
     pi = mode.pi
@@ -1227,7 +1232,27 @@ def _fused_kernel(
             rot_star = rot + gate * (rot_star - rot)
 
             gate1 = jnp.full((B, 1), 1.0, jnp.float32) * gate
-            if incremental:
+            if incremental and not defer_commit:
+                # Materialized incremental symmetry (round-1 path): build
+                # sm_star before the accept decision, commit with ONE
+                # [B,S,N] select. More critical-path latency than the
+                # deferred path below but ~2 fewer total tile passes —
+                # the faster variant on v5e, where the step is
+                # throughput-bound (MH_FUSED_DEFER=1 selects the other).
+                rx_st, ry_st, rrot_st = reflections(x_star, y_star, rot_star)
+                sm_star = sm_update(
+                    sm_s[:, :, :], sel1,
+                    x_star, y_star, rot_star, rx_st, ry_st, rrot_st, gate1,
+                )
+                sm_star = sm_update(
+                    sm_star, sel2,
+                    x_star, y_star, rot_star, rx_st, ry_st, rrot_st, sw,
+                )
+                t_other, _ = costs_of(
+                    x_star, y_star, rot_star, False, with_sym=False
+                )
+                total_star = t_other + w_sy * sym_from_sm(sm_star)
+            elif incremental:
                 # Deferred-commit incremental symmetry: compute the candidate
                 # total WITHOUT materializing sm_star (round-1 built it via 5
                 # sequential [B,S,N] select passes before the accept decision
@@ -1305,7 +1330,15 @@ def _fused_kernel(
             x_s[:, :] = jnp.where(acc_b, x_star, x)
             y_s[:, :] = jnp.where(acc_b, y_star, y)
             rot_s[:, :] = jnp.where(acc_b, rot_star, rot)
-            if incremental:
+            if incremental and not defer_commit:
+                sm_s[:, :, :] = jnp.where(
+                    acc_b[:, :, None], sm_star, sm_s[:, :, :]
+                )
+                if not parity:
+                    so_s[:, :, :] = jnp.where(
+                        acc_b[:, :, None], so_star, so_s[:, :, :]
+                    )
+            elif incremental:
                 # acceptance-gated slab-state commit (rows then columns —
                 # write order makes the overlap cells bitwise-equal to the
                 # round-1 materialized sm_star; see docstring above)
@@ -1445,6 +1478,7 @@ def _fused_runner(
     n_chains: int,
     bc: int,
     mode: CostMode,
+    defer_commit: bool,
     incremental: bool,
     moves_per_step: int,
     adapt: bool,
@@ -1467,6 +1501,7 @@ def _fused_runner(
     kernel = functools.partial(
         _fused_kernel,
         mode=mode,
+        defer_commit=defer_commit,
         n=n,
         report_offlimits=True,
         incremental=incremental,
@@ -1750,8 +1785,9 @@ def _get_runner(
             f"{cfg.accept_draws}"
         )
     clr_unroll = packed.n_clr_real <= CLR_UNROLL_MAX
+    defer_commit = os.environ.get("MH_FUSED_DEFER", "0") == "1"
     cache_key = (
-        n, n0, n_chains, bc, cfg.mode, incremental,
+        n, n0, n_chains, bc, cfg.mode, incremental, defer_commit,
         cfg.n_moves_per_step, cfg.adapt, cfg.accept_draws, interpret,
         clr_unroll, packed.n_clr_real, packed.clr_anchors,
         packed.rel_src_oh.shape, packed.rel_params.shape,
@@ -1765,6 +1801,7 @@ def _get_runner(
         runner = _fused_runner(
             n=n, n0=n0, n_chains=n_chains, bc=bc,
             mode=cfg.mode, incremental=incremental,
+            defer_commit=defer_commit,
             moves_per_step=cfg.n_moves_per_step, adapt=cfg.adapt,
             accept_draws=cfg.accept_draws,
             clr_unroll=clr_unroll, n_clr_real=packed.n_clr_real,

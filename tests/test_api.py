@@ -166,3 +166,33 @@ def test_auto_engine_dispatch_table():
     assert auto_engine(**{**multi, "shared_pose0": False}) == "xla"
     # off-TPU there is no fused kernel
     assert auto_engine(**{**base, "on_tpu": False, "n_pad_objs": 512}) == "xla"
+
+
+def test_auto_fused_failure_falls_back_to_xla(monkeypatch):
+    """An auto-selected fused engine that fails (e.g. a compile error the
+    in-kernel retry could not fix) must degrade to the XLA engine with a
+    warning — the round-2 bench died because this path crashed instead."""
+    import warnings
+
+    import mh_tpu.api as api
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic fused failure")
+
+    monkeypatch.setattr(api, "_run_fused", boom)
+    monkeypatch.setattr(
+        api, "auto_engine", lambda **kw: "fused"
+    )
+    spec = demo_scene(8)
+    cfg = SamplerConfig(iterations=2, n_chains=8)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        res = api.suggest_layouts(spec, cfg, key=0, engine="auto")
+    assert res.points.shape[0] == 8
+    assert any("falling back" in str(w.message) for w in caught)
+
+    # an EXPLICIT engine="fused" propagates the failure instead
+    import pytest
+
+    with pytest.raises(RuntimeError, match="synthetic"):
+        api.suggest_layouts(spec, cfg, key=0, engine="fused")
