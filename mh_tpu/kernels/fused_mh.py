@@ -1233,21 +1233,70 @@ def _fused_kernel(
 
             gate1 = jnp.full((B, 1), 1.0, jnp.float32) * gate
             if incremental and not defer_commit:
-                # Materialized incremental symmetry (round-1 path): build
-                # sm_star before the accept decision, commit with ONE
+                # Materialized incremental symmetry (round-1 semantics):
+                # build sm_star before the accept decision, commit with ONE
                 # [B,S,N] select. More critical-path latency than the
-                # deferred path below but ~2 fewer total tile passes —
-                # the faster variant on v5e, where the step is
-                # throughput-bound (MH_FUSED_DEFER=1 selects the other).
+                # deferred path below but fewer total tile passes — the
+                # faster variant on v5e, where the step is throughput-bound
+                # (MH_FUSED_DEFER=1 selects the other).
+                #
+                # Both moved objects' evaluations are batched: one
+                # [B,16,N] dual-slab row eval and one [B,2S,N] stacked
+                # segmented column max, instead of two sequential
+                # sm_update calls. Bitwise-equal to the sequential order:
+                # every cell both paths touch is a max over the same
+                # one-hot-gathered values (the overlap cell [s2, lane1] is
+                # max_{j in s2} val[k1, j] either way — max is
+                # order-insensitive), pinned by the interpret-mode A/B vs
+                # MH_FUSED_DEFER=1 and the bitwise-vs-full-recompute test.
                 rx_st, ry_st, rrot_st = reflections(x_star, y_star, rot_star)
-                sm_star = sm_update(
-                    sm_s[:, :, :], sel1,
-                    x_star, y_star, rot_star, rx_st, ry_st, rrot_st, gate1,
-                )
-                sm_star = sm_update(
-                    sm_star, sel2,
-                    x_star, y_star, rot_star, rx_st, ry_st, rrot_st, sw,
-                )
+                s1_i = (
+                    jnp.sum(sel1 * iota_n, axis=1, keepdims=True)
+                ).astype(jnp.int32)[:, :, None] // 8  # [B,1,1]
+                s2_i = (
+                    jnp.sum(sel2 * iota_n, axis=1, keepdims=True)
+                ).astype(jnp.int32)[:, :, None] // 8
+                g1_on = gate1[:, :, None] > 0  # [B,1,1]
+                g2_on = sw[:, :, None] > 0
+                row1, row2 = dual_slab_row_max(
+                    s1_i, s2_i, x_star, y_star, rot_star,
+                    rx_st, ry_st, rrot_st,
+                )  # [B,N] x 2
+
+                def vrow_of(sel):
+                    rxk = jnp.sum(sel * rx_st, axis=1, keepdims=True)
+                    ryk = jnp.sum(sel * ry_st, axis=1, keepdims=True)
+                    rrk = jnp.sum(sel * rrot_st, axis=1, keepdims=True)
+                    v = sym_val(x_star, y_star, rot_star, rxk, ryk, rrk)
+                    return jnp.where(mask_row > 0, v, _NEG_HUGE)
+
+                vrow1 = vrow_of(sel1)  # [B,N]
+                vrow2 = vrow_of(sel2)
+                stale1 = (iota_s3 == s1_i) & g1_on  # [B,S,1]
+                stale2 = (iota_s3 == s2_i) & g2_on
+                # rows: moved candidates' slabs recomputed for all lanes.
+                # Write row2 after row1 (same-slab cells agree bitwise:
+                # both rows are the same slab's max at the star pose).
+                sm_star = jnp.where(stale1, row1[:, None, :], sm_s[:, :, :])
+                sm_star = jnp.where(stale2, row2[:, None, :], sm_star)
+                # columns: both moved lanes' per-slab maxima in one
+                # [B,2S,N] masked reduction (axis 2)
+                v3 = jnp.concatenate(
+                    [
+                        jnp.where(slab_mask3, vrow1[:, None, :], _NEG_HUGE),
+                        jnp.where(slab_mask3, vrow2[:, None, :], _NEG_HUGE),
+                    ],
+                    axis=1,
+                )  # [B,2S,N]
+                newcol12 = jnp.max(v3, axis=2)  # [B,2S]
+                # static lane slices + [:, :, None] expansion (a combined
+                # `[:, :S, None]` getitem lowers to a Mosaic-rejected gather)
+                newcol1 = jax.lax.slice_in_dim(newcol12, 0, S, axis=1)[:, :, None]
+                newcol2 = jax.lax.slice_in_dim(newcol12, S, 2 * S, axis=1)[:, :, None]
+                c1 = (sel1[:, None, :] > 0) & g1_on  # [B,1,N]
+                c2 = (sel2[:, None, :] > 0) & g2_on
+                sm_star = jnp.where(c1, newcol1, sm_star)
+                sm_star = jnp.where(c2, newcol2, sm_star)
                 t_other, _ = costs_of(
                     x_star, y_star, rot_star, False, with_sym=False
                 )
