@@ -1726,7 +1726,7 @@ def _call_fused_protected(
             )
             continue
         if not interpret and bc_override is None:
-            _record_fit(packed.n, cfg, incremental, bc, vmem)
+            _record_fit(packed.n, cfg, incremental, n_chains, bc, vmem)
         return out
 
 
@@ -1753,15 +1753,20 @@ def _runner_args(packed: PackedScene, p0: Array) -> tuple:
 # of re-paying the failed compile.
 _FIT_CACHE: dict = {}
 _FIT_PATH = os.path.join(
-    os.environ.get("TMPDIR", "/tmp"), "mh_tpu_fused_fit.json"
+    os.environ.get("TMPDIR", "/tmp"), "mh_tpu_fused_fit_v2.json"
 )
 _FIT_LOADED = False
 
 
-def _fit_key(n: int, cfg: SamplerConfig, incremental: bool) -> str:
+def _fit_key(n: int, cfg: SamplerConfig, incremental: bool,
+             n_chains: int) -> str:
+    # n_chains is part of the key: the chain block is clamped to the chain
+    # count, so a small run (e.g. an 8-chain test at the same padded scene
+    # size) must not record its tiny block as "proven" for a 1024-chain
+    # production call — that poisoning cost 1.7x at the headline shape.
     return (
         f"{n}:{int(incremental)}:{cfg.mode.name}:{cfg.n_moves_per_step}"
-        f":{cfg.accept_draws}:{int(cfg.adapt)}"
+        f":{cfg.accept_draws}:{int(cfg.adapt)}:{n_chains}"
         f":{os.environ.get('MH_FUSED_UNROLL', '')}"
     )
 
@@ -1781,8 +1786,8 @@ def _load_fits() -> None:
 
 
 def _record_fit(n: int, cfg: SamplerConfig, incremental: bool,
-                bc: int, vmem: int) -> None:
-    key = _fit_key(n, cfg, incremental)
+                n_chains: int, bc: int, vmem: int) -> None:
+    key = _fit_key(n, cfg, incremental, n_chains)
     if _FIT_CACHE.get(key) == [bc, vmem]:
         return
     _FIT_CACHE[key] = [bc, vmem]
@@ -1816,7 +1821,7 @@ def _get_runner(
         bc = min(block_chains(n), n_chains)
     else:
         _load_fits()
-        proven = _FIT_CACHE.get(_fit_key(n, cfg, incremental))
+        proven = _FIT_CACHE.get(_fit_key(n, cfg, incremental, n_chains))
         if proven and vmem_override is None and "MH_FUSED_VMEM" not in os.environ:
             bc, vmem = int(proven[0]), int(proven[1])
         else:
