@@ -78,28 +78,34 @@ MAX_VMEM = 96 << 20
 _BC_FLOOR = 8
 
 
-def fused_vmem_estimate(bc: int, n: int) -> int:
+def fused_vmem_estimate(bc: int, n: int, incremental: bool = True) -> int:
     """Estimated scoped-VMEM bytes for one grid step of the fused kernel.
 
     Explicit scratch (pose/aux/cur planes + the two [B, N/8, N] slab
     states) is exact; Mosaic's on-stack temporaries are modeled as
     ``q*n^2/8 + l*n`` f32 words per chain, calibrated against the one
     hard measurement we have — the round-2 compile error's 18.85 MB at
-    B=128, n=128 (q~13, l~41; we use q=14, l=48 for margin). Used to
-    pre-shrink the chain block before compiling; the runtime retry in
-    ``_call_fused_protected`` catches what the model misses.
+    B=128, n=128 (q~13, l~41; we use q=14, l=48 for margin). The
+    non-incremental A/B path evaluates full [B, N, N] symmetry tiles in
+    the hot loop — several live at once — so its quadratic term is ~4x
+    larger. Used to pre-shrink the chain block before compiling; the
+    runtime retry in ``_call_fused_protected`` catches what the model
+    misses.
     """
     scratch_words = bc * (6 * n + LANE + (n * n) // 4)
-    temp_words = bc * (14 * (n * n) // 8 + 48 * n)
+    q = 14 if incremental else 48
+    temp_words = bc * (q * (n * n) // 8 + 48 * n)
     return 4 * (scratch_words + temp_words)
 
 
-def _fit_block_and_vmem(bc: int, n: int, vmem: int) -> tuple[int, int]:
+def _fit_block_and_vmem(
+    bc: int, n: int, vmem: int, incremental: bool = True
+) -> tuple[int, int]:
     """Shrink ``bc`` (then raise ``vmem``) until the estimate fits."""
-    while bc > _BC_FLOOR and fused_vmem_estimate(bc, n) > 0.92 * vmem:
+    while bc > _BC_FLOOR and fused_vmem_estimate(bc, n, incremental) > 0.92 * vmem:
         bc //= 2
-    if fused_vmem_estimate(bc, n) > 0.92 * vmem:
-        vmem = min(int(fused_vmem_estimate(bc, n) / 0.85), MAX_VMEM)
+    if fused_vmem_estimate(bc, n, incremental) > 0.92 * vmem:
+        vmem = min(int(fused_vmem_estimate(bc, n, incremental) / 0.85), MAX_VMEM)
     return bc, vmem
 
 _NEG_HUGE = -1e30
@@ -1826,7 +1832,7 @@ def _get_runner(
             bc, vmem = int(proven[0]), int(proven[1])
         else:
             bc = min(block_chains(n), n_chains)
-            bc, vmem = _fit_block_and_vmem(bc, n, vmem)
+            bc, vmem = _fit_block_and_vmem(bc, n, vmem, incremental)
     while bc > _BC_FLOOR and n_chains % bc:
         bc //= 2
     bc = min(bc, n_chains)
