@@ -365,6 +365,7 @@ def _fused_kernel(
     accept_draws: int = 1,
     sw_rng: bool = False,
     defer_commit: bool = False,
+    gather_vpu: bool = True,
 ):
     B = pose_ref.shape[1]
     pi = mode.pi
@@ -375,6 +376,23 @@ def _fused_kernel(
     seed_val = seed_ref[0] + pl.program_id(0)
     if not sw_rng:
         pltpu.prng_seed(seed_val)
+
+    def onehot_gather(plane, oh):
+        """Entity gather [B,N] x one-hot [M,N] -> [B,M].
+
+        Both paths are exact and bitwise-equal: each output has exactly
+        one nonzero term, so the VPU masked [B,M,N] sublane reduction
+        (``MH_FUSED_GATHER=vpu``) returns the selected f32 verbatim, as
+        does the MXU dot at HIGHEST precision (the default DEFAULT-
+        precision MXU path would round operands through bf16 — measured
+        0.7% clearance error; never use it here)."""
+        if gather_vpu:
+            return jnp.sum(oh[None, :, :] * plane[:, None, :], axis=2)
+        return jax.lax.dot_general(
+            plane, oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     mask = planes_ref[P_MASK, :]  # f32[N]
     okv = planes_ref[P_OK, :]  # 1.0 for movable (unfrozen, real) objects
@@ -516,20 +534,9 @@ def _fused_kernel(
                 gparts.append(anc_rows)
         gmat = jnp.concatenate(gparts, axis=0)  # [M, N]
 
-        def gather_all(plane):
-            return jax.lax.dot_general(
-                plane, gmat, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [B, M]
-
-        gx_all = gather_all(x)
-        gy_all = gather_all(y)
-        atr = jax.lax.dot_general(
-            rot, a_t, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        gx_all = onehot_gather(x, gmat)
+        gy_all = onehot_gather(y, gmat)
+        atr = onehot_gather(rot, a_t)
         sx = gx_all[:, 0:r_cnt]
         sy_ = gy_all[:, 0:r_cnt]
         tx = gx_all[:, r_cnt : 2 * r_cnt]
@@ -582,14 +589,18 @@ def _fused_kernel(
             pwa = jnp.sum((apen * am)[:, :, None], axis=1)  # [B,1]
 
         # --- visual balance (Kernel.cu:191-207) ----------------------------
-        area_row = area.reshape(1, n)
-        denom = jnp.sum(area_row * mask_row)
-        denom = jnp.where(denom > 0, denom, 1.0)
-        nx = jnp.sum(area_row * xm, axis=1, keepdims=True) / denom
-        ny = jnp.sum(area_row * ym, axis=1, keepdims=True) / denom
-        vb = -jnp.sqrt(
-            jnp.square(nx - scal_ref[S_CX2]) + jnp.square(ny - scal_ref[S_CY2])
-        )
+        if 'vb' in _DEBUG_SKIP:
+            vb = jnp.zeros((B, 1), jnp.float32)
+        else:
+            area_row = area.reshape(1, n)
+            denom = jnp.sum(area_row * mask_row)
+            denom = jnp.where(denom > 0, denom, 1.0)
+            nx = jnp.sum(area_row * xm, axis=1, keepdims=True) / denom
+            ny = jnp.sum(area_row * ym, axis=1, keepdims=True) / denom
+            vb = -jnp.sqrt(
+                jnp.square(nx - scal_ref[S_CX2])
+                + jnp.square(ny - scal_ref[S_CY2])
+            )
 
         # --- focal point (Kernel.cu:266-281) -------------------------------
         # cos(atan2(dy,dx) - rot + pi/2) == (dx*sin(rot) - dy*cos(rot))/r
@@ -597,14 +608,17 @@ def _fused_kernel(
         # instead of the ~30-op atan2 polynomial + cos. r == 0 (object on
         # the focal point) degenerates to atan2(0,0) == 0 like the
         # reference's atan2f, i.e. cos(-rot + pi/2) == sin(rot).
-        dxf = fx - x
-        dyf = fy - y
-        rf = jnp.sqrt(jnp.square(dxf) + jnp.square(dyf))
-        cph = (dxf * jnp.sin(rot) - dyf * jnp.cos(rot)) / jnp.where(
-            rf > 0, rf, 1.0
-        )
-        cph = jnp.where(rf > 0, cph, jnp.sin(rot))
-        fp = jnp.sum(-cph * mask_row, axis=1, keepdims=True)
+        if 'fp' in _DEBUG_SKIP:
+            fp = jnp.zeros((B, 1), jnp.float32)
+        else:
+            dxf = fx - x
+            dyf = fy - y
+            rf = jnp.sqrt(jnp.square(dxf) + jnp.square(dyf))
+            cph = (dxf * jnp.sin(rot) - dyf * jnp.cos(rot)) / jnp.where(
+                rf > 0, rf, 1.0
+            )
+            cph = jnp.where(rf > 0, cph, jnp.sin(rot))
+            fp = jnp.sum(-cph * mask_row, axis=1, keepdims=True)
 
         # --- N x N terms, chain-vectorized: symmetry + off-limits ----------
         # [B, N, N] tiles with i (reflection/row) on sublanes, j (candidate)
@@ -688,16 +702,8 @@ def _fused_kernel(
         else:
             # many clearances: [B, C] anchor gathers x one [B, C, N] tile
             c_cnt = clr_s_ref.shape[0]
-            cax = jax.lax.dot_general(  # [B, C] anchor translations
-                x, clr_s_ref[:, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            cay = jax.lax.dot_general(
-                y, clr_s_ref[:, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            cax = onehot_gather(x, clr_s_ref[:, :])  # [B, C] anchors
+            cay = onehot_gather(y, clr_s_ref[:, :])
             cv0 = clr_p_ref[:, 0].reshape(1, c_cnt)
             ctl = clr_p_ref[:, 1].reshape(1, c_cnt)
             cmn = clr_p_ref[:, 2].reshape(1, c_cnt)
@@ -723,16 +729,8 @@ def _fused_kernel(
             # surface-area for clearance rects: parity anchors by clearance
             # index (Kernel.cu:456) via the hoisted one-hot gather matmul
             if parity:
-                pax = jax.lax.dot_general(
-                    x, anc_oh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # [B, C]
-                pay = jax.lax.dot_general(
-                    y, anc_oh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                pax = onehot_gather(x, anc_oh)  # [B, C]
+                pay = onehot_gather(y, anc_oh)
             else:
                 pax, pay = cax, cay
             smnx_c = aabb_minx(cv0, ctl, cmn, pax)
@@ -740,9 +738,14 @@ def _fused_kernel(
             sa_clr = -jnp.sum((sa_mat * cm)[:, :, None], axis=1)  # [B,1]
 
         # --- surface area for object off-limits rects (Kernel.cu:469-480) --
-        omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N] planes
-        obj_out = outside_area(omnx, omny, omxx, omxy)
-        sa = sa_clr + (-jnp.sum(obj_out * mask_row, axis=1, keepdims=True))
+        if 'sa' in _DEBUG_SKIP:
+            sa = jnp.zeros((B, 1), jnp.float32)
+        else:
+            omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N] planes
+            obj_out = outside_area(omnx, omny, omxx, omxy)
+            sa = sa_clr + (
+                -jnp.sum(obj_out * mask_row, axis=1, keepdims=True)
+            )
 
         # --- aggregate (Kernel.cu:516-550) ---------------------------------
         if parity:
@@ -1495,15 +1498,16 @@ def _fused_kernel(
         pose_out_ref[4, :, :] = rot_s[:, :]
         pose_out_ref[5, :, :] = aux_s[2, :, :]
 
-        stats_ref[:, :] = jnp.concatenate(
-            [
-                total, pair_w, vb_w, fp_w, sym_w, clr_w, off_w, sa_w,
-                cur_s[:, 1:2],
-                jnp.exp(cur_s[:, 2:3]),
-                jnp.zeros((B, LANE - 10), jnp.float32),
-            ],
-            axis=1,
-        )
+        # per-lane stores, not a concatenate: Mosaic rejects concatenating
+        # [B,1] values whose producers left them on different vreg offsets
+        # ("result/input offset mismatch on non-concat dimension" — hit
+        # when the VPU gather path changed sa_w's layout); stores relayout
+        stats_ref[:, :] = jnp.zeros((B, LANE), jnp.float32)
+        for lane, v in enumerate(
+            (total, pair_w, vb_w, fp_w, sym_w, clr_w, off_w, sa_w,
+             cur_s[:, 1:2], jnp.exp(cur_s[:, 2:3]))
+        ):
+            stats_ref[:, lane : lane + 1] = v
 
     pl.run_scoped(
         scratch_body,
@@ -1534,6 +1538,7 @@ def _fused_runner(
     bc: int,
     mode: CostMode,
     defer_commit: bool,
+    gather_vpu: bool,
     incremental: bool,
     moves_per_step: int,
     adapt: bool,
@@ -1557,6 +1562,7 @@ def _fused_runner(
         _fused_kernel,
         mode=mode,
         defer_commit=defer_commit,
+        gather_vpu=gather_vpu,
         n=n,
         report_offlimits=True,
         incremental=incremental,
@@ -1846,8 +1852,13 @@ def _get_runner(
         )
     clr_unroll = packed.n_clr_real <= CLR_UNROLL_MAX
     defer_commit = os.environ.get("MH_FUSED_DEFER", "0") == "1"
+    # default mxu: the VPU masked-reduction gather is bitwise-equal and
+    # avoids the 6-pass HIGHEST matmuls, but its [B,M,N] tiles blow Mosaic
+    # compile past 40 min at the headline shape (another instance of the
+    # slab-code compile pathology) — A/B only until that's understood
+    gather_vpu = os.environ.get("MH_FUSED_GATHER", "mxu") == "vpu"
     cache_key = (
-        n, n0, n_chains, bc, cfg.mode, incremental, defer_commit,
+        n, n0, n_chains, bc, cfg.mode, incremental, defer_commit, gather_vpu,
         cfg.n_moves_per_step, cfg.adapt, cfg.accept_draws, interpret,
         clr_unroll, packed.n_clr_real, packed.clr_anchors,
         packed.rel_src_oh.shape, packed.rel_params.shape,
@@ -1861,7 +1872,7 @@ def _get_runner(
         runner = _fused_runner(
             n=n, n0=n0, n_chains=n_chains, bc=bc,
             mode=cfg.mode, incremental=incremental,
-            defer_commit=defer_commit,
+            defer_commit=defer_commit, gather_vpu=gather_vpu,
             moves_per_step=cfg.n_moves_per_step, adapt=cfg.adapt,
             accept_draws=cfg.accept_draws,
             clr_unroll=clr_unroll, n_clr_real=packed.n_clr_real,
