@@ -209,6 +209,19 @@ def _strip_iterations(cfg: SamplerConfig) -> SamplerConfig:
     return dataclasses.replace(cfg, iterations=0)
 
 
+def _validate_thin(thin: int, iterations: int) -> None:
+    """The thin/iterations contract, enforced on every public path.
+
+    Trace-free paths force ``thin=1`` into the jitted impl (thin only
+    affects traces, results are bitwise identical), which would silently
+    skip the impl's own divisibility check — so the wrappers validate
+    before stripping (round-3 advisor finding)."""
+    if thin < 1 or iterations % thin:
+        raise ValueError(
+            f"thin={thin} must be >= 1 and divide iterations={iterations}"
+        )
+
+
 @partial(jax.jit, static_argnames=("cfg", "trace_costs", "trace_poses", "thin"))
 def _run_chain_jit(key, pose0, scene, n_steps, cfg, trace_costs, trace_poses,
                    thin):
@@ -239,6 +252,7 @@ def run_chain(
     Trace-free runs treat the iteration count as a runtime value: calls
     that differ only in ``cfg.iterations`` share one compiled program.
     """
+    _validate_thin(thin, cfg.iterations)
     if trace_costs or trace_poses:
         return _run_chain_jit(
             key, pose0, scene, None, cfg, trace_costs, trace_poses, thin
@@ -287,6 +301,7 @@ def run_chains(
     that differ only in ``cfg.iterations`` share one compiled program
     (bitwise-identical results either way).
     """
+    _validate_thin(thin, cfg.iterations)
     if trace_costs or trace_poses:
         return _run_chains_jit(
             key, pose0, scene, None, cfg, trace_costs, trace_poses, thin
@@ -435,6 +450,12 @@ def compile_chains(
     (a runtime value — no recompile when the budget changes).
     """
     traced = trace_costs or trace_poses
+    _validate_thin(thin, cfg.iterations)
+    # trace-free runners force thin=1 into the impl: thin only affects
+    # traces (results are bitwise identical), and the impl's thin>1 branch
+    # scans the STATIC cfg.iterations length, which would silently ignore
+    # the runtime ``iterations=`` override (round-3 advisor finding)
+    impl_thin = thin if traced else 1
 
     @jax.jit
     def _runner(key: Array, pose0: Array, n_steps):
@@ -445,7 +466,7 @@ def compile_chains(
             pose0 = jnp.broadcast_to(pose0, (cfg.n_chains, *pose0.shape))
         return jax.vmap(
             lambda k, p: _run_chain_impl(
-                k, p, scene, cfg, trace_costs, trace_poses, thin,
+                k, p, scene, cfg, trace_costs, trace_poses, impl_thin,
                 n_steps=n_steps,
             )
         )(keys, pose0)
@@ -459,6 +480,7 @@ def compile_chains(
                 )
             return _runner(key, pose0, None)
         its = cfg.iterations if iterations is None else iterations
+        _validate_thin(thin, its)
         return _runner(key, pose0, jnp.int32(its))
 
     return runner

@@ -110,3 +110,41 @@ def test_compile_chains_matches_run_chains():
     np.testing.assert_array_equal(
         np.asarray(ref.costs.total), np.asarray(fast.costs.total)
     )
+
+
+def test_thin_validation_on_trace_free_paths():
+    """thin must divide iterations even when no trace is requested — the
+    trace-free fast path forces thin=1 into the impl, which silently
+    skipped the contract check (round-3 advisor finding)."""
+    import pytest
+
+    from mh_tpu.sampler.mh import compile_chains
+
+    spec = demo_scene(8)
+    scene = spec.build()
+    cfg = SamplerConfig(iterations=10, n_chains=2)
+    with pytest.raises(ValueError, match="thin"):
+        run_chain(jax.random.key(0), spec.initial_pose(), scene, cfg, thin=3)
+    with pytest.raises(ValueError, match="thin"):
+        run_chains(jax.random.key(0), spec.initial_pose(), scene, cfg, thin=3)
+    with pytest.raises(ValueError, match="thin"):
+        compile_chains(scene, cfg, thin=3)
+
+
+def test_compile_chains_thin_honors_iterations_override():
+    """A thin>1 trace-free runner must honor the runtime iterations
+    override (round-3 advisor: it silently ran the full static count)."""
+    from mh_tpu.sampler.mh import compile_chains
+
+    spec = demo_scene(8)
+    scene = spec.build()
+    key = jax.random.key(1)
+    cfg = SamplerConfig(iterations=8, n_chains=2)
+    runner = compile_chains(scene, cfg, thin=2)
+    states, _ = runner(key, spec.initial_pose(), iterations=4)
+    assert int(np.asarray(states.step).max()) == 4
+    ref, _ = run_chains(
+        key, spec.initial_pose(), scene,
+        SamplerConfig(iterations=4, n_chains=2),
+    )
+    np.testing.assert_array_equal(np.asarray(ref.pose), np.asarray(states.pose))
