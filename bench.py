@@ -4,16 +4,44 @@ Headline metric (BASELINE.md config 3/4): MH proposals/s/chip on the
 100-object layout scene, 1024 chains batched per chip, full vectorized cost
 matrix per proposal.
 
+Architecture (round 4 — "the benchmark must be un-killable"):
+
+  parent (this process)          never initializes a JAX backend; it only
+    |                            orchestrates and prints the final line
+    +-- preflight  subprocess    fresh TPU claim + tiny jitted op
+    +-- engine     subprocess    fresh TPU claim + ONE measurement, result
+    |                            on a protocol line '@MHBENCH {json}'
+    +-- retry loop               transient backend failures (wedged claim,
+                                 FAILED_PRECONDITION, hang->timeout) are
+                                 retried with backoff; each retry gets a
+                                 brand-new process and backend session
+
+Rounds 2 and 3 both lost their scoreboard number to single-process
+failure modes: r02 a fused-kernel VMEM OOM aborted the whole run, r03 a
+transiently wedged backend (FAILED_PRECONDITION on every engine) that
+cleared ~20 min later. Engine isolation (r03's `_guarded`) is not enough
+when every engine shares one wedged backend in one process — hence
+process-per-measurement with re-registration between attempts.
+
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 anchor is the *reference-math single-core baseline* — the same objective +
 MH loop executed by the straight-Python/NumPy oracle (tests/oracle.py, a
-faithful loop-for-loop implementation of Kernel.cu's math) measured live on
-this machine's CPU. vs_baseline = tpu_proposals_per_s / oracle_proposals_per_s.
+faithful loop-for-loop implementation of Kernel.cu's math). The divisor is
+a PINNED calibration constant (below): a live 30-iteration timing swung
+1.9x between rounds with machine load, which made vs_baseline noise. A
+live re-measurement still runs (CPU subprocess) and is printed to stderr
+as a sanity check against calibration rot.
 
 Usage:
-  python bench.py                # headline config, one JSON line to stdout
-  python bench.py --all          # all 5 BASELINE configs (JSON lines to stderr,
-                                 # headline line to stdout last)
+  python bench.py                # headline + secondary metrics, one JSON
+                                 # line to stdout
+  python bench.py --all          # additionally run all 5 BASELINE configs
+  python bench.py --engine NAME  # child mode: one measurement (internal)
+
+Testing the retry machinery: MH_BENCH_POISON=N makes the parent poison the
+first N child invocations (the child dies with a synthetic
+FAILED_PRECONDITION); tests/test_bench_harness.py asserts the JSON line
+still appears. MH_BENCH_SLEEPS overrides the backoff schedule.
 """
 
 from __future__ import annotations
@@ -21,18 +49,47 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+# ---------------------------------------------------------------------------
+# Pinned oracle baseline (proposals/s, single-core NumPy, 100 objects).
+# Calibration: fixed seed, 200 iterations, median of 5 runs on this
+# machine's CPU (2026-08-21, idle). Re-calibrate by running
+# `python bench.py --engine oracle` on an idle machine and updating this
+# constant; the live stderr value drifting >2x from it signals rot.
+ORACLE_BASELINE_PROPOSALS_PER_S = 17.0
 
-import jax
+_PROTO = "@MHBENCH "
 
-# Persistent compilation cache: the two scan programs take ~1-2 min to
-# compile over the axon tunnel; cache them across bench invocations.
-jax.config.update("jax_compilation_cache_dir", "/tmp/mh_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# error signatures that mean "the backend/environment hiccuped, try a fresh
+# process + claim" rather than "the code is wrong"
+_TRANSIENT_PAT = (
+    "FAILED_PRECONDITION",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "RESOURCE_EXHAUSTED",
+    "INTERNAL:",
+    "claim",
+    "timed out",
+    "timeout",
+    "Socket closed",
+    "transport",
+    "connection",
+    "TPU backend error",
+    "tunnel",
+)
+
+
+def _is_transient(text: str) -> bool:
+    low = text.lower()
+    return any(p.lower() in low for p in _TRANSIENT_PAT)
+
+
+# ---------------------------------------------------------------------------
+# measurement helpers (run in CHILD processes only)
 
 
 def _time_best(fn, repeats: int = 4) -> float:
@@ -49,8 +106,11 @@ def _per_step_linfit(run, lengths, repeats: int = 6) -> float:
 
     Strictly dominates two-point differencing under the tunnel's
     time-correlated per-call noise: three+ lengths expose any intercept
-    misestimate as a residual instead of folding it into the slope.
+    misestimate as a residual instead of folding it into the slope
+    (docs/PERFORMANCE.md, measurement-methodology corrections).
     """
+    import numpy as np
+
     mins = {}
     for it in lengths:
         run(it)  # compile/warm
@@ -64,38 +124,48 @@ def _per_step_linfit(run, lengths, repeats: int = 6) -> float:
     ys = np.array([mins[it] for it in lengths])
     return max(float(np.polyfit(xs, ys, 1)[0]), 1e-9)
 
-def oracle_baseline_proposals_per_s(n_objs: int = 100, iters: int = 30) -> float:
-    """Reference-math MH loop (NumPy oracle) single-core proposals/s."""
-    sys.path.insert(0, "tests")
+
+def bench_oracle(n_objs: int = 100, iters: int = 200, repeats: int = 5) -> dict:
+    """Reference-math MH loop (NumPy oracle) single-core proposals/s.
+
+    Median of ``repeats`` timed runs (fixed seed) — the live counterpart
+    of the pinned calibration constant.
+    """
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     import oracle  # noqa: PLC0415
 
     from mh_tpu.models.scene import demo_scene  # noqa: PLC0415
 
     spec = demo_scene(n_objs)
-    pose = np.asarray(spec.positions, np.float64).copy()
-    rng = np.random.default_rng(0)
-    cur = oracle.breakdown(spec, pose, parity=True)["total"]
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        star = pose.copy()
-        i = rng.integers(n_objs)
-        star[i, 0:2] += rng.normal(size=2) * 10 / 16
-        s = oracle.breakdown(spec, star, parity=True)["total"]
-        if rng.random() < min(1.0, math.exp(min(2.0 * (s - cur), 0.0))):
-            pose, cur = star, s
-    dt = time.perf_counter() - t0
-    return iters / dt
+
+    def one() -> float:
+        pose = np.asarray(spec.positions, np.float64).copy()
+        rng = np.random.default_rng(0)
+        cur = oracle.breakdown(spec, pose, parity=True)["total"]
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            star = pose.copy()
+            i = rng.integers(n_objs)
+            star[i, 0:2] += rng.normal(size=2) * 10 / 16
+            s = oracle.breakdown(spec, star, parity=True)["total"]
+            if rng.random() < min(1.0, math.exp(min(2.0 * (s - cur), 0.0))):
+                pose, cur = star, s
+        return iters / (time.perf_counter() - t0)
+
+    vals = sorted(one() for _ in range(repeats))
+    return {
+        "proposals_per_s": vals[len(vals) // 2],
+        "pinned": ORACLE_BASELINE_PROPOSALS_PER_S,
+    }
 
 
 def bench_layout(n_objs: int, n_chains: int, iterations: int, n_moves: int = 1) -> dict:
-    """Steady-state MH throughput via a 3-length linearity fit.
+    """Steady-state MH throughput (XLA engine) via a 3-length linearity fit."""
+    import jax
+    import numpy as np
 
-    The axon TPU tunnel adds tens-to-hundreds of ms of per-call overhead and
-    its ``block_until_ready`` does not reliably block, so: (a) completion is
-    forced with a host copy, (b) per-step time is the slope of min wall time
-    over three scan lengths (``_per_step_linfit``), which cancels dispatch +
-    compile-cache overheads without the two-point differencing pathologies.
-    """
     from mh_tpu.config import SamplerConfig  # noqa: PLC0415
     from mh_tpu.models.scene import demo_scene  # noqa: PLC0415
     from mh_tpu.sampler.mh import compile_chains  # noqa: PLC0415
@@ -115,7 +185,8 @@ def bench_layout(n_objs: int, n_chains: int, iterations: int, n_moves: int = 1) 
 
     def run(iters):
         states, _ = runner(key, pose0, iterations=iters)
-        # host pull forces real completion on axon
+        # host pull forces real completion on axon (its block_until_ready
+        # does not reliably block)
         np.asarray(states.pose)
         return states
 
@@ -132,7 +203,37 @@ def bench_layout(n_objs: int, n_chains: int, iterations: int, n_moves: int = 1) 
     }
 
 
+def bench_fused(n_objs: int, n_chains: int, iterations: int = 2010) -> dict:
+    """Fused Pallas MH kernel throughput, 3-length linearity fit."""
+    import numpy as np
+
+    from mh_tpu.config import SamplerConfig  # noqa: PLC0415
+    from mh_tpu.kernels.fused_mh import run_chains_fused  # noqa: PLC0415
+    from mh_tpu.models.scene import demo_scene  # noqa: PLC0415
+
+    spec = demo_scene(n_objs)
+    scene = spec.build()
+    cfg = SamplerConfig()
+    pose0 = spec.initial_pose()
+
+    def run(iters):
+        pose, bd, acc, _ = run_chains_fused(0, pose0, scene, cfg, n_chains, iters)
+        np.asarray(pose)
+        return acc
+
+    lengths = (10, iterations // 2 + 5, iterations)
+    per_step = _per_step_linfit(run, lengths)
+    acc = np.asarray(run(iterations))
+    return {
+        "proposals_per_s": n_chains / per_step,
+        "per_step_ms": per_step * 1e3,
+        "accepted_per_s": float(acc.mean()) / iterations * n_chains / per_step,
+    }
+
+
 def bench_pi(n_samples: int = 1 << 24) -> dict:
+    import jax
+
     from mh_tpu.models.pi import estimate_pi  # noqa: PLC0415
 
     key = jax.random.key(0)
@@ -159,33 +260,11 @@ def bench_pi_fused(n_samples: int = 1 << 30) -> dict:
     return {"samples_per_s": total / dt, "pi_estimate": est, "wall_s": dt}
 
 
-def bench_fused(n_objs: int, n_chains: int) -> dict:
-    """Fused Pallas MH kernel throughput, 3-length linearity fit.
-
-    Two-point differencing under the tunnel's per-call noise (hundreds of
-    ms, time-correlated) fabricated both phantom speedups and slowdowns;
-    the slope of min-wall-time over three scan lengths is robust
-    (docs/PERFORMANCE.md, measurement-methodology corrections).
-    """
-    from mh_tpu.config import SamplerConfig  # noqa: PLC0415
-    from mh_tpu.kernels.fused_mh import run_chains_fused  # noqa: PLC0415
-    from mh_tpu.models.scene import demo_scene  # noqa: PLC0415
-
-    spec = demo_scene(n_objs)
-    scene = spec.build()
-    cfg = SamplerConfig()
-    pose0 = spec.initial_pose()
-
-    def run(iters):
-        pose, bd, acc, _ = run_chains_fused(0, pose0, scene, cfg, n_chains, iters)
-        np.asarray(pose)
-
-    per_step = _per_step_linfit(run, (10, 1010, 2010))
-    return {"proposals_per_s": n_chains / per_step, "per_step_ms": per_step * 1e3}
-
-
 def bench_collective(n_objs: int, n_chains: int) -> dict:
     """Config 4: chains + collective psum acceptance adaptation (1 mesh)."""
+    import jax
+    import numpy as np
+
     from mh_tpu.config import SamplerConfig  # noqa: PLC0415
     from mh_tpu.models.scene import demo_scene  # noqa: PLC0415
     from mh_tpu.parallel.mesh import chain_mesh  # noqa: PLC0415
@@ -206,9 +285,6 @@ def bench_collective(n_objs: int, n_chains: int) -> dict:
         return rates
 
     rates = run(12)
-    # same 3-length linearity fit as every other bench (the two-point
-    # differencing this replaced fabricates phantom slopes under the
-    # tunnel's time-correlated noise — round-1 post-mortem)
     per_step = _per_step_linfit(run, (2, 7, 12), repeats=5) / 10.0
     return {
         "proposals_per_s": n_chains / per_step,
@@ -223,6 +299,9 @@ def bench_tempering_smc(n_objs: int = 32, n_replicas: int = 64) -> dict:
     self-loop); the multi-device behavior is covered by the CPU virtual-mesh
     tests (tests/test_parallel.py) and scales over ICI unchanged.
     """
+    import jax
+    import numpy as np
+
     from mh_tpu.config import SamplerConfig  # noqa: PLC0415
     from mh_tpu.models.scene import demo_scene  # noqa: PLC0415
     from mh_tpu.parallel.mesh import chain_mesh  # noqa: PLC0415
@@ -264,9 +343,194 @@ def bench_tempering_smc(n_objs: int = 32, n_replicas: int = 64) -> dict:
     }
 
 
+def bench_preflight() -> dict:
+    """Tiny jitted op — proves the claim, compile path, and execution."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    t0 = time.perf_counter()
+    x = jnp.full((128, 128), 2.0)
+    y = jax.jit(lambda a: (a @ a).sum())(x)
+    val = float(np.asarray(y))
+    assert val == 128 * 128 * 128 * 4.0, val
+    return {
+        "platform": jax.devices()[0].platform,
+        "devices": len(jax.devices()),
+        "wall_s": time.perf_counter() - t0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# child entry
+
+
+def _run_child(engine: str, args) -> None:
+    """Run one measurement and print its result on a protocol line."""
+    if os.environ.get("MH_BENCH_POISON_CHILD") == "1":
+        raise RuntimeError(
+            "FAILED_PRECONDITION: TPU backend error (poisoned for retry test)"
+        )
+    if engine == "oracle":
+        # pure-NumPy measurement: never claim a TPU backend (both the env
+        # var AND the config update are required — CLAUDE.md gotcha)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        # robust bring-up: fresh direct-provider claim with a bounded
+        # timeout (no-op on CPU / non-axon machines)
+        from mh_tpu.utils.axon_boot import ensure_robust_tpu
+
+        ensure_robust_tpu()
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mh_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    if engine == "preflight":
+        out = bench_preflight()
+    elif engine == "oracle":
+        out = bench_oracle(args.objects)
+    elif engine == "xla_headline":
+        out = bench_layout(args.objects, args.chains, args.iters)
+    elif engine == "fused_headline":
+        out = bench_fused(args.objects, args.chains)
+    elif engine == "fused_256":
+        out = bench_fused(256, args.chains, iterations=1010)
+    elif engine == "pi":
+        out = bench_pi()
+    elif engine == "pi_fused":
+        out = bench_pi_fused()
+    elif engine == "layout_small":
+        out = bench_layout(10, 1, 2000)
+    elif engine == "layout_block":
+        out = bench_layout(args.objects, min(args.chains, 256), 500, n_moves=64)
+    elif engine == "collective":
+        out = bench_collective(args.objects, 1024)
+    elif engine == "tempering_smc":
+        out = bench_tempering_smc()
+    else:
+        raise SystemExit(f"unknown engine {engine!r}")
+    print(_PROTO + json.dumps(out), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# parent orchestration
+
+
+def _child_env() -> dict:
+    """Environment for a child: manual (robust) axon bring-up, no pool
+    redirect — each child claims its own fresh backend session."""
+    env = dict(os.environ)
+    if env.get("PALLAS_AXON_POOL_IPS"):
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["MH_TPU_MANUAL_AXON"] = "1"
+        env.setdefault("AXON_POOL_SVC_OVERRIDE", "127.0.0.1")
+        env.setdefault("AXON_LOOPBACK_RELAY", "1")
+        env.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+    env.pop("MH_BENCH_POISON", None)
+    env.pop("MH_BENCH_POISON_CHILD", None)
+    return env
+
+
+class _Orchestrator:
+    def __init__(self, args):
+        self.args = args
+        self.poison_left = int(os.environ.get("MH_BENCH_POISON", "0"))
+        sleeps = os.environ.get("MH_BENCH_SLEEPS", "120,600")
+        self.sleeps = [float(s) for s in sleeps.split(",") if s.strip()]
+        self.deadline = time.monotonic() + float(
+            os.environ.get("MH_BENCH_DEADLINE_S", "4200")
+        )
+        self.attempt_log: dict[str, int] = {}
+        self.preflight_ok = False
+
+    def _spawn(self, engine: str, timeout_s: float):
+        env = _child_env()
+        if self.poison_left > 0:
+            self.poison_left -= 1
+            env["MH_BENCH_POISON_CHILD"] = "1"
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--engine", engine,
+            "--objects", str(self.args.objects),
+            "--chains", str(self.args.chains),
+            "--iters", str(self.args.iters),
+        ]
+        try:
+            proc = subprocess.run(
+                cmd, env=env, timeout=timeout_s,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        except subprocess.TimeoutExpired as e:
+            return None, (
+                f"timeout after {timeout_s:.0f}s"
+                + (f"; stderr tail: {(e.stderr or '')[-300:]}" if e.stderr else "")
+            )
+        tail = "\n".join((proc.stderr or "").splitlines()[-8:])
+        if proc.returncode != 0:
+            return None, f"rc={proc.returncode}; stderr tail: {tail[-900:]}"
+        for line in (proc.stdout or "").splitlines():
+            if line.startswith(_PROTO):
+                try:
+                    return json.loads(line[len(_PROTO):]), None
+                except json.JSONDecodeError as e:
+                    return None, f"bad protocol line: {e}"
+        return None, f"no protocol line; stderr tail: {tail[-900:]}"
+
+    def _heal(self, attempt: int) -> None:
+        """Backoff, then gate on a preflight before the next attempt.
+
+        The r03 wedge cleared in ~20 min on its own; a fresh subprocess +
+        fresh claim session is the re-registration half of self-healing,
+        the sleep is the other half.
+        """
+        idx = min(attempt, len(self.sleeps) - 1)
+        delay = self.sleeps[idx] if self.sleeps else 0.0
+        remaining = self.deadline - time.monotonic()
+        delay = max(0.0, min(delay, remaining - 60.0))
+        if delay:
+            print(f"# healing: sleeping {delay:.0f}s before retry", file=sys.stderr)
+            time.sleep(delay)
+        out, err = self._spawn("preflight", 420)
+        if out is not None:
+            print(f"# preflight after heal: {json.dumps(out)}", file=sys.stderr)
+        else:
+            print(f"# preflight after heal FAILED: {err}", file=sys.stderr)
+
+    def run_engine(self, engine: str, timeout_s: float = 1500,
+                   attempts: int = 3):
+        """Measure one engine, retrying transient failures in fresh
+        processes. Returns the result dict or None."""
+        for attempt in range(attempts):
+            self.attempt_log[engine] = attempt + 1
+            out, err = self._spawn(engine, timeout_s)
+            if out is not None:
+                print(f"# {engine}: {json.dumps(out)}", file=sys.stderr)
+                return out
+            print(f"# {engine} attempt {attempt + 1} FAILED: {err}",
+                  file=sys.stderr)
+            if time.monotonic() > self.deadline:
+                print(f"# {engine}: deadline exhausted, giving up",
+                      file=sys.stderr)
+                return None
+            if not _is_transient(err):
+                print(f"# {engine}: failure looks like a code bug, one "
+                      f"immediate retry only", file=sys.stderr)
+                if attempt >= 1:
+                    return None
+                continue
+            if attempt < attempts - 1:
+                self._heal(attempt)
+        return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="run all BASELINE configs")
+    ap.add_argument("--engine", help="child mode: run ONE measurement")
     ap.add_argument("--fused-probe", action="store_true",
                     help="measure only the fused kernel; one JSON line to stdout")
     ap.add_argument("--objects", type=int, default=100)
@@ -274,81 +538,86 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=1000)
     args = ap.parse_args()
 
+    if args.engine:
+        _run_child(args.engine, args)
+        return
+
     if args.fused_probe:
+        # legacy probe: direct in-process measurement (A/B experimentation)
+        from mh_tpu.utils.axon_boot import ensure_robust_tpu
+
+        ensure_robust_tpu()
         print(json.dumps(bench_fused(args.objects, args.chains)))
         return
 
-    def _guarded(name, fn, *a, **kw):
-        """One engine's failure must never erase another's measurement
-        (the round-2 bench died of a fused-kernel compile OOM before
-        printing the already-measured XLA headline)."""
-        try:
-            return fn(*a, **kw)
-        except Exception as e:  # noqa: BLE001 — report, keep benching
-            print(f"# {name} FAILED: {type(e).__name__}: "
-                  f"{str(e).splitlines()[0][:300]}", file=sys.stderr)
-            return None
+    orch = _Orchestrator(args)
+    on_cpu = os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
 
-    platform = jax.devices()[0].platform
-    print(f"# platform: {platform}, devices: {len(jax.devices())}", file=sys.stderr)
+    pre = orch.run_engine("preflight", timeout_s=420)
+    if pre is None:
+        print("# preflight never passed; attempting measurements anyway",
+              file=sys.stderr)
 
     if args.all:
-        pi = _guarded("config1 pi", bench_pi)
-        print(f"# config1 pi (XLA): {json.dumps(pi)}", file=sys.stderr)
-        if platform in ("tpu", "axon"):
-            fp = _guarded("config1 pi fused", bench_pi_fused)
-            print(f"# config1 pi (fused kernel): {json.dumps(fp)}", file=sys.stderr)
-        small = _guarded("config2", bench_layout, 10, 1, 2000)
-        print(f"# config2 single-chain 10-obj: {json.dumps(small)}", file=sys.stderr)
-        blk = _guarded("config3 block", bench_layout, args.objects,
-                       min(args.chains, 256), 500, n_moves=64)
-        print(f"# config3 block-proposal K=64 (XLA engine): {json.dumps(blk)}",
-              file=sys.stderr)
-        coll = _guarded("config4", bench_collective, args.objects, 1024)
-        print(f"# config4 collective-adaptation: {json.dumps(coll)}", file=sys.stderr)
-        if platform in ("tpu", "axon"):
-            fused = _guarded("fused MH", bench_fused, args.objects, args.chains)
-            print(f"# fused-kernel MH: {json.dumps(fused)}", file=sys.stderr)
-        ts = _guarded("config5", bench_tempering_smc)
-        print(f"# config5 tempering+SMC: {json.dumps(ts)}", file=sys.stderr)
+        for eng in ("pi", "pi_fused", "layout_small", "layout_block",
+                    "collective", "tempering_smc"):
+            if on_cpu and eng == "pi_fused":
+                continue
+            orch.run_engine(eng)
 
-    head = _guarded("headline XLA", bench_layout, args.objects, args.chains,
-                    args.iters)
-    print(f"# config3/4 headline (XLA engine): {json.dumps(head)}", file=sys.stderr)
-    if platform in ("tpu", "axon"):
-        # The production API's auto engine picks the faster of the XLA scan
-        # and the fused Pallas kernel per scene, so the headline is the
-        # better of the two — both measured with the SAME single-process
-        # 3-length linearity fit (no subprocess best-of: taking a max over
-        # processes selects favorable measurement noise, the exact failure
-        # mode the round-1 methodology post-mortem documents).
-        fused = _guarded("headline fused", bench_fused, args.objects, args.chains)
-        print(f"# config3/4 headline (fused kernel): {json.dumps(fused)}", file=sys.stderr)
-        if fused and (
-            head is None or fused["proposals_per_s"] > head["proposals_per_s"]
-        ):
-            head = dict(head or {}, **fused)
+    head = orch.run_engine("xla_headline")
+    extras: dict = {}
+    if not on_cpu:
+        fused = orch.run_engine("fused_headline")
+        if fused:
+            extras["fused_proposals_per_s"] = round(fused["proposals_per_s"], 1)
+            if head:
+                extras["xla_proposals_per_s"] = round(head["proposals_per_s"], 1)
+            if head is None or fused["proposals_per_s"] > head["proposals_per_s"]:
+                head = dict(head or {}, **fused, engine="fused")
+            else:
+                head = dict(head, engine="xla")
+        elif head:
+            head = dict(head, engine="xla")
+        # secondary metrics: the fused kernel's large-N advantage and the
+        # pi kernel — visible on the driver scoreboard, not only RESULTS.md
+        f256 = orch.run_engine("fused_256")
+        if f256:
+            extras["fused_256obj_proposals_per_s"] = round(
+                f256["proposals_per_s"], 1
+            )
+        pif = orch.run_engine("pi_fused", timeout_s=900)
+        if pif:
+            extras["pi_fused_samples_per_s"] = round(pif["samples_per_s"], 0)
+    elif head:
+        head = dict(head, engine="xla")
+
     if head is None:
         raise SystemExit("no engine produced a headline measurement")
 
-    base = oracle_baseline_proposals_per_s(args.objects)
-    print(f"# oracle baseline: {base:.1f} proposals/s (single-core NumPy)", file=sys.stderr)
-
-    print(
-        json.dumps(
-            {
-                "metric": f"mh_proposals_per_s_per_chip_{args.objects}obj_{args.chains}chains",
-                "value": round(head["proposals_per_s"], 1),
-                "unit": "proposals/s",
-                "vs_baseline": round(head["proposals_per_s"] / base, 2),
-            }
+    # live oracle sanity check (CPU subprocess; non-fatal)
+    base = ORACLE_BASELINE_PROPOSALS_PER_S
+    live = orch.run_engine("oracle", timeout_s=420, attempts=1)
+    if live:
+        drift = live["proposals_per_s"] / base
+        print(
+            f"# oracle live: {live['proposals_per_s']:.1f} proposals/s "
+            f"(pinned {base}, drift x{drift:.2f})", file=sys.stderr,
         )
-    )
+
+    result = {
+        "metric": f"mh_proposals_per_s_per_chip_{args.objects}obj_{args.chains}chains",
+        "value": round(head["proposals_per_s"], 1),
+        "unit": "proposals/s",
+        "vs_baseline": round(head["proposals_per_s"] / base, 2),
+        "engine": head.get("engine", "xla"),
+        "per_step_ms": round(head.get("per_step_ms", 0.0), 4),
+        "accepted_per_s": round(head.get("accepted_per_s", 0.0), 1),
+        **extras,
+        "attempts": orch.attempt_log,
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    # robust TPU bring-up (may re-exec; only when run as a script)
-    from mh_tpu.utils.axon_boot import ensure_robust_tpu
-
-    ensure_robust_tpu()
     main()
