@@ -57,6 +57,8 @@ def suggest_layouts(
     mesh=None,
     serve: bool = False,
     objs_devices: int | None = None,
+    log=None,
+    log_every: int = 0,
 ) -> LayoutResult:
     """Run ``cfg.n_chains`` MH chains and return their final layouts.
 
@@ -67,13 +69,14 @@ def suggest_layouts(
     ``engine``:
 
     - ``"auto"`` (default): picks per scene from measured crossovers —
-      the Pallas fused kernel on TPU above ~104 padded objects (its
-      incremental-symmetry update is O(N) per step vs the scan's
-      O(N^2)), the generic XLA scan otherwise. With ``serve=True``
-      (the scene will be sampled repeatedly, so a per-scene compile
-      amortizes) auto instead serves ``xla_specialized`` up to ~160
-      padded objects — the fastest engine in that regime — and the
-      fused kernel beyond.
+      the Pallas fused kernel on TPU above ``FUSED_CROSSOVER`` padded
+      objects (its incremental-symmetry update is O(N) per step vs the
+      scan's O(N^2)), the generic XLA scan otherwise. With
+      ``serve=True`` (the scene will be sampled repeatedly, so a
+      per-scene compile amortizes) auto instead serves
+      ``xla_specialized`` up to ``SERVE_CROSSOVER`` padded objects —
+      the fastest engine in that regime — and the fused kernel beyond.
+      Both constants are re-measured each round (docs/API.md table).
     - ``"xla"``: the fused-by-XLA ``lax.scan`` (any backend).
     - ``"xla_specialized"``: the XLA scan compiled with the scene embedded
       as constants — ~20% faster steady-state, one fresh compile per
@@ -86,9 +89,9 @@ def suggest_layouts(
     chains over (XLA scan or fused engine). Defaults to the ambient mesh
     over all visible devices whenever more than one device is present and
     ``cfg.n_chains`` divides evenly — chains are device-count invariant
-    (XLA: keys fold from global chain ids; fused: kernel PRNG seeds fold
-    from global block ids), so results are bitwise identical to the
-    single-device path.
+    (XLA: keys fold from global chain ids; fused: the counter-based
+    kernel stream is keyed by global chain id), so results are bitwise
+    identical to the single-device path.
 
     ``objs_devices``: shard the O(N^2) objective *within* each chain over
     this many devices (huge-scene model parallelism — the answer to the
@@ -97,7 +100,35 @@ def suggest_layouts(
     psum-reduced over ICI each step). Builds a 2-D (chains x objs) mesh
     from the visible devices; pass a 2-D ``mesh`` (with chains and objs
     axes) instead for explicit placement. Implies the XLA engine.
+
+    ``log``: a file path / file-like / :class:`~mh_tpu.utils.runlog.RunLogger`
+    — emits a structured JSONL event stream (``run_config`` + ``result``;
+    SURVEY.md §5 observability). With ``log_every > 0`` and the plain
+    unsharded ``"xla"`` engine, the run additionally executes in
+    ``log_every``-step rounds (bitwise-identical to one shot — the resume
+    path is exact) and emits per-round ``round`` events: accept-rate,
+    step-scale, and cost-quantile statistics.
     """
+    from mh_tpu.utils.runlog import RunLogger, as_logger
+
+    logger = as_logger(log)
+    try:
+        res, engine_used = _dispatch_layouts(
+            scene, cfg, key, pose0, engine, mesh, serve, objs_devices,
+            logger, log_every,
+        )
+        if logger is not None:
+            logger.log_result(res, engine=engine_used)
+        return res
+    finally:
+        if logger is not None and not isinstance(log, RunLogger):
+            logger.close()
+
+
+def _dispatch_layouts(
+    scene, cfg, key, pose0, engine, mesh, serve, objs_devices, logger,
+    log_every,
+) -> tuple[LayoutResult, str]:
     if isinstance(scene, SceneSpec):
         spec = scene
         scene = spec.build()
@@ -106,12 +137,21 @@ def suggest_layouts(
     if pose0 is None:
         raise ValueError("pose0 is required when passing a built Scene")
 
+    def log_cfg(eng: str) -> None:
+        if logger is not None:
+            logger.log_config(
+                cfg, engine=eng,
+                n_objs=int(np.sum(np.asarray(scene.obj_mask) > 0)),
+                n_chains=cfg.n_chains,
+            )
+
     # 2-D (chains x objs) dispatch: either requested by count or implied by
     # a mesh that carries the objs axis
     from mh_tpu.parallel.objshard import OBJS_AXIS
 
     if mesh is not None and OBJS_AXIS in mesh.shape and mesh.shape[OBJS_AXIS] > 1:
-        return _run_objsharded(scene, cfg, key, pose0, mesh, engine)
+        log_cfg("xla_objsharded")
+        return _run_objsharded(scene, cfg, key, pose0, mesh, engine), "xla_objsharded"
     if objs_devices and objs_devices > 1:
         from mh_tpu.parallel.objshard import chain_obj_mesh
 
@@ -124,7 +164,8 @@ def suggest_layouts(
                 f"{n_dev} visible devices"
             )
         mesh2d = chain_obj_mesh(n_dev // objs_devices, objs_devices)
-        return _run_objsharded(scene, cfg, key, pose0, mesh2d, engine)
+        log_cfg("xla_objsharded")
+        return _run_objsharded(scene, cfg, key, pose0, mesh2d, engine), "xla_objsharded"
 
     # the fused kernel supports compound block proposals (n_moves_per_step
     # sequential moves per accept, like the reference's blockxDim threads)
@@ -147,7 +188,8 @@ def suggest_layouts(
 
     if engine == "fused":
         try:
-            return _run_fused(scene, cfg, key, pose0, mesh)
+            log_cfg("fused")
+            return _run_fused(scene, cfg, key, pose0, mesh), "fused"
         except Exception:  # noqa: BLE001 — auto never crashes the caller
             # the fused runner already retries scoped-VMEM OOMs internally
             # (shrinking its chain block); anything that still escapes only
@@ -166,7 +208,14 @@ def suggest_layouts(
         raise ValueError(
             f"unknown engine {engine!r} (use 'xla', 'xla_specialized' or 'fused')"
         )
-    return _run_xla(scene, cfg, key, pose0, engine, mesh)
+    log_cfg(engine)
+    if logger is not None and log_every > 0 and engine == "xla" and mesh is None:
+        # per-round logging runs the unsharded chain runner in
+        # ``log_every``-step rounds — results are bitwise identical to the
+        # one-shot (and to the sharded) path: chains are device-count
+        # invariant and the resume fold is exact (test_recovery.py)
+        return _run_xla_logged(scene, cfg, key, pose0, logger, log_every), engine
+    return _run_xla(scene, cfg, key, pose0, engine, mesh), engine
 
 
 def auto_engine(
@@ -195,8 +244,8 @@ def auto_engine(
       worth it — auto then serves xla_specialized below the crossover.
 
     Device counts: every returned engine serves any ``n_dev`` (the fused
-    kernel runs sharded over the chains axis — scene replicated, seeds
-    folded from global block ids, device-count invariant) as long as the
+    kernel runs sharded over the chains axis — scene replicated, streams
+    keyed by global chain id, device-count invariant) as long as the
     chains split evenly from one shared pose0; otherwise auto falls back
     to the generic scan, which handles every configuration.
     """
@@ -233,13 +282,7 @@ def _run_objsharded(scene, cfg, key, pose0, mesh2d, engine) -> LayoutResult:
     if isinstance(key, int):
         key = jax.random.key(key)
     state = run_chains_objsharded(key, pose0, scene, cfg, mesh2d)
-    n_real = int(np.sum(np.asarray(scene.obj_mask) > 0))
-    return LayoutResult(
-        points=np.asarray(state.pose)[:, :n_real, :],
-        costs=np.asarray(state.costs.as_vector()),
-        accept_rate=np.asarray(state.accept_rate),
-        step_scale=np.exp(np.asarray(state.log_scale)),
-    )
+    return _result_from_state(scene, state)
 
 
 def _run_fused(scene, cfg, key, pose0, mesh) -> LayoutResult:
@@ -277,6 +320,41 @@ def _run_fused(scene, cfg, key, pose0, mesh) -> LayoutResult:
     )
 
 
+def _result_from_state(scene, state) -> LayoutResult:
+    n_real = int(np.sum(np.asarray(scene.obj_mask) > 0))
+    return LayoutResult(
+        points=np.asarray(state.pose)[:, :n_real, :],
+        costs=np.asarray(state.costs.as_vector()),
+        accept_rate=np.asarray(state.accept_rate),
+        step_scale=np.exp(np.asarray(state.log_scale)),
+    )
+
+
+def _run_xla_logged(scene, cfg, key, pose0, logger, log_every) -> LayoutResult:
+    """The plain XLA engine in ``log_every``-step rounds with ``round``
+    events after each — bitwise identical to the one-shot run (the resume
+    fold consumes exactly the stream the uninterrupted run would)."""
+    import dataclasses as dc
+
+    from mh_tpu.sampler.mh import continue_chains
+
+    if isinstance(key, int):
+        key = jax.random.key(key)
+    total = cfg.iterations
+    first = min(log_every, total)
+    states, _ = run_chains(key, pose0, scene, dc.replace(cfg, iterations=first))
+    step = first
+    logger.log_round(0, step, states)
+    rnd = 1
+    while step < total:
+        n = min(log_every, total - step)
+        states = continue_chains(states, scene, dc.replace(cfg, iterations=n))
+        step += n
+        logger.log_round(rnd, step, states)
+        rnd += 1
+    return _result_from_state(scene, states)
+
+
 def _run_xla(scene, cfg, key, pose0, engine, mesh) -> LayoutResult:
     """Dispatch to the XLA scan engines (sharded when >1 device)."""
     if isinstance(key, int):
@@ -304,10 +382,4 @@ def _run_xla(scene, cfg, key, pose0, engine, mesh) -> LayoutResult:
         state = run_chains_sharded(key, pose0, scene, cfg, mesh)
     else:
         state, _ = run_chains(key, pose0, scene, cfg)
-    n_real = int(np.sum(np.asarray(scene.obj_mask) > 0))
-    return LayoutResult(
-        points=np.asarray(state.pose)[:, :n_real, :],
-        costs=np.asarray(state.costs.as_vector()),
-        accept_rate=np.asarray(state.accept_rate),
-        step_scale=np.exp(np.asarray(state.log_scale)),
-    )
+    return _result_from_state(scene, state)

@@ -39,6 +39,15 @@ def _add_sampler_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--adapt", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--config", help="JSON file of SamplerConfig overrides")
+    p.add_argument(
+        "--log", help="append a structured JSONL event stream here "
+                      "(run_config / round / result events; utils/runlog)",
+    )
+    p.add_argument(
+        "--log-every", type=int, default=0,
+        help="emit a `round` stats event every N steps (default: "
+             "iterations/10 when --log is set; plain XLA engine only)",
+    )
 
 
 def _sampler_config(args):
@@ -59,6 +68,17 @@ def _sampler_config(args):
     )
 
 
+def _log_kwargs(args) -> dict:
+    """--log/--log-every -> suggest_layouts logging kwargs.
+
+    With --log but no --log-every, default to ~10 rounds of events.
+    """
+    if not getattr(args, "log", None):
+        return {}
+    every = getattr(args, "log_every", 0) or max(args.iters // 10, 1)
+    return {"log": args.log, "log_every": every}
+
+
 def cmd_suggest(args) -> int:
     from mh_tpu.api import suggest_layouts
     from mh_tpu.models.scene import demo_scene
@@ -68,6 +88,7 @@ def cmd_suggest(args) -> int:
     res = suggest_layouts(
         spec, _sampler_config(args), key=args.seed, engine=args.engine,
         serve=args.serve, objs_devices=args.objs_devices,
+        **_log_kwargs(args),
     )
     out = {
         "points": np.asarray(res.points, np.float64).tolist(),
@@ -92,7 +113,9 @@ def cmd_demo(args) -> int:
     from mh_tpu.models.scene import demo_scene
 
     spec = demo_scene(args.objects)
-    res = suggest_layouts(spec, _sampler_config(args), key=args.seed)
+    res = suggest_layouts(
+        spec, _sampler_config(args), key=args.seed, **_log_kwargs(args)
+    )
     for c in range(res.points.shape[0]):
         print(f"Suggestion {c}  (accept rate {res.accept_rate[c]:.2f})")
         print(
@@ -149,6 +172,13 @@ def cmd_temper(args) -> int:
     }
     if args.adapt_ladder:
         result["betas"] = np.asarray(out[2], np.float64).tolist()
+    if args.log:
+        from mh_tpu.utils.runlog import RunLogger
+
+        with RunLogger(args.log) as lg:
+            lg.log_config(_sampler_config(args), engine="tempering",
+                          n_objs=args.objects, n_chains=args.replicas)
+            lg.event("result", engine="tempering", **result)
     print(json.dumps(result))
     return 0
 
@@ -168,13 +198,21 @@ def cmd_smc(args) -> int:
         n_stages=args.stages, mutate_steps=args.mutate_steps,
         adaptive=args.adaptive, init=args.init,
     )
-    print(json.dumps({
+    result = {
         "log_evidence": float(diag["log_evidence"]),
         "betas": np.asarray(diag["betas"], np.float64).tolist(),
         "ess": np.asarray(diag["ess"], np.float64).tolist(),
         "resampled": np.asarray(diag["resampled"]).astype(int).tolist(),
         "best_total_cost": float(np.asarray(states.costs.total).max()),
-    }))
+    }
+    if args.log:
+        from mh_tpu.utils.runlog import RunLogger
+
+        with RunLogger(args.log) as lg:
+            lg.log_config(_sampler_config(args), engine="smc",
+                          n_objs=args.objects, n_chains=args.particles)
+            lg.event("result", engine="smc", **result)
+    print(json.dumps(result))
     return 0
 
 

@@ -51,8 +51,12 @@ def _decode(tree):
     return jax.tree.map(dec, tree, is_leaf=is_marker)
 
 
-def save_state(path: str, state) -> None:
-    """Save a sampler-state PyTree (MHState or any pytree of arrays)."""
+def save_state(path: str, state, log=None) -> None:
+    """Save a sampler-state PyTree (MHState or any pytree of arrays).
+
+    ``log``: optional :class:`~mh_tpu.utils.runlog.RunLogger` — emits a
+    ``checkpoint`` event (op=save) on completion.
+    """
     path = os.path.abspath(path)
     if _HAS_ORBAX:
         ckptr = ocp.StandardCheckpointer()
@@ -61,9 +65,15 @@ def save_state(path: str, state) -> None:
     else:
         leaves, _ = jax.tree.flatten(_encode(state))
         np.savez(path + ".npz", *[np.asarray(l) for l in leaves])
+    if log is not None:
+        step = getattr(state, "step", None)
+        log.log_checkpoint(
+            "save", path,
+            **({"step": int(np.max(np.asarray(step)))} if step is not None else {}),
+        )
 
 
-def restore_state(path: str, template):
+def restore_state(path: str, template, log=None):
     """Restore a PyTree saved by :func:`save_state`; ``template`` gives structure."""
     path = os.path.abspath(path)
     enc_template = _encode(template)
@@ -80,6 +90,8 @@ def restore_state(path: str, template):
         restored = jax.tree.unflatten(
             treedef, [jnp.asarray(data[f]) for f in data.files]
         )
+    if log is not None:
+        log.log_checkpoint("restore", path)
     return _decode(restored)
 
 
