@@ -7,7 +7,10 @@
  * of its marshalling code.
  *
  * Struct sources (all layouts verified 8/4-byte natural alignment,
- * identical under MSVC x64 and the System V x86-64 ABI):
+ * identical under MSVC x64 and the System V x86-64 ABI — the complete
+ * per-field offset table and the identity argument live in
+ * ref_layout_asserts.h; `make check-msvc` compiles it under
+ * --target=x86_64-pc-windows-msvc when a Windows-ABI clang is present):
  *   vertex                Kernel.cu:43-48    (24 bytes)
  *   rectangle             Kernel.cu:50-57    (20 bytes)
  *   positionAndRotation   Kernel.cu:59-72    (72 bytes; bool at offset 48)
@@ -24,7 +27,9 @@
  *  - gridxDim = number of chains/suggestions; blockxDim threads each inject
  *    a proposal per iteration AND draw an independent accept decision
  *    (Kernel.cu:798,819) -> mapped to n_moves_per_step = accept_draws =
- *    blockxDim.
+ *    blockxDim. gridyDim/blockyDim/blockzDim are accepted and ignored,
+ *    matching the reference's effective behavior: its launches use only
+ *    the x dims (dim3(gridxDim), dim3(blockxDim), Kernel.cu:949-951).
  *  - the angle-relationship array is sized by nRelationships (the reference
  *    stages rsa with `sizeof(relationshipAngleStruct) * srf->nRelationships`,
  *    Kernel.cu:886, and PairWiseAngleCosts iterates nRelationships,

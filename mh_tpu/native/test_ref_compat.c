@@ -14,23 +14,13 @@
 #include <stdlib.h>
 
 #include "ref_compat.h"
+/* layout pins: EVERY field offset/struct size vs the x64 ABI the
+ * reference DLL exposes to P/Invoke — see ref_layout_asserts.h for the
+ * complete table and the MSVC-x64 / SysV identity argument (checkable
+ * under a Windows-ABI compiler via `make check-msvc`). */
+#include "ref_layout_asserts.h"
 
 #define PI (3.1416) /* Kernel.cu:31 */
-
-/* layout pins: the x64 ABI the reference DLL exposes to P/Invoke */
-_Static_assert(sizeof(ref_vertex) == 24, "vertex");
-_Static_assert(sizeof(ref_rectangle) == 20, "rectangle");
-_Static_assert(sizeof(ref_positionAndRotation) == 72, "positionAndRotation");
-_Static_assert(offsetof(ref_positionAndRotation, frozen) == 48, "frozen@48");
-_Static_assert(offsetof(ref_positionAndRotation, length) == 56, "length@56");
-_Static_assert(sizeof(ref_relationshipStruct) == 32, "relationshipStruct");
-_Static_assert(sizeof(ref_relationshipAngleStruct) == 24, "relAngle");
-_Static_assert(sizeof(ref_Surface) == 80, "Surface");
-_Static_assert(offsetof(ref_Surface, centroidX) == 40, "centroid@40");
-_Static_assert(sizeof(ref_gpuConfig) == 24, "gpuConfig");
-_Static_assert(sizeof(ref_point) == 24, "point");
-_Static_assert(sizeof(ref_resultCosts) == 32, "resultCosts");
-_Static_assert(sizeof(ref_result) == 40, "result"); /* ptr(8) + costs(32) */
 
 static ref_result* run_reference_demo(void) {
   /* --- verbatim re-creation of main(), Kernel.cu:1007-1194 ------------- */
