@@ -18,7 +18,10 @@ masked sublane sums — no dynamic indexing in the hot loop.
 Semantics match :mod:`mh_tpu.sampler` (same moves, clamp/wrap rules, accept
 rule, PARITY/FIXED objective) with a different — still counter-based,
 deterministic — random stream, so chains are statistically equivalent but
-not bitwise equal to the XLA path.
+not bitwise equal to the XLA path. The default stream is keyed by GLOBAL
+chain id (see ``_uniform_sw``), so fused results are reproducible across
+chain-block sizes, fit-cache states, and device counts; ``MH_FUSED_RNG=hw``
+selects the hardware per-block stream instead (bc-dependent, A/B knob).
 """
 
 from __future__ import annotations
@@ -311,18 +314,24 @@ def _i32c(v: int) -> jnp.int32:
     return jnp.int32(np.int64(np.uint32(v).astype(np.int32)))
 
 
-def _uniform_sw(base, shape):
-    """Software counter-based uniforms (triple32-style integer mixing).
+def _uniform_sw(base, shape, row_offset=0):
+    """Counter-based uniforms (triple32-style integer mixing).
 
     Pure jnp/lax ops, so it runs under the Pallas CPU interpreter — which
     has no lowering for the hardware ``prng_*`` primitives — AND compiles
-    on TPU. Used only when the runner is built with ``interpret=True``
-    (mesh dry-runs, CPU tests); the hardware PRNG remains the compiled
-    path. ``base`` is a traced i32 unique per draw (seed/counter mix).
+    on TPU. This is the DEFAULT fused-kernel stream: with ``row_offset``
+    set to the grid block's first global chain index, every draw is a pure
+    function of (seed, global chain id, draw counter, lane) — so chain
+    trajectories are invariant to the chain-block size ``bc`` (fit-cache
+    state, OOM retries) and to the device count, unlike the block-seeded
+    hardware stream (``MH_FUSED_RNG=hw``), whose [B, LANE] tile layout
+    bakes ``bc`` into each chain's stream (round-3 advisor finding).
+    ``base`` is a traced i32 unique per draw (seed/counter mix).
     """
     shr = jax.lax.shift_right_logical
     flat = (
-        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * shape[-1]
+        (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row_offset)
+        * shape[-1]
         + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     )
     x = flat ^ base
@@ -342,7 +351,7 @@ def _uniform_sw(base, shape):
 
 
 def _fused_kernel(
-    seed_ref,  # SMEM i32[2]: [seed, iteration count]
+    seed_ref,  # SMEM i32[3]: [seed, iteration count, first-chain offset]
     scal_ref,  # SMEM f32[N_SCALARS]
     clr_scal_ref,  # SMEM f32[CLR_UNROLL_MAX*8] (unrolled clearance params)
     pose_ref,  # VMEM f32[6, B, N] (aliased in/out)
@@ -363,7 +372,7 @@ def _fused_kernel(
     n_clr_real: int = 0,
     clr_anchors: tuple = (),
     accept_draws: int = 1,
-    sw_rng: bool = False,
+    rng_hw: bool = False,
     defer_commit: bool = False,
     gather_vpu: bool = True,
 ):
@@ -371,11 +380,13 @@ def _fused_kernel(
     pi = mode.pi
     parity = mode is CostMode.PARITY
 
-    # seed is per GLOBAL chain block: callers sharding chains over a mesh
-    # pass seed + first_global_block, so streams are device-count invariant
-    seed_val = seed_ref[0] + pl.program_id(0)
-    if not sw_rng:
-        pltpu.prng_seed(seed_val)
+    # Default stream: counter-based per GLOBAL chain (seed_ref[2] is the
+    # device's first-chain offset on sharded meshes) — invariant to the
+    # chain-block size and device count. ``rng_hw`` restores the hardware
+    # per-global-block stream (bc-dependent; A/B knob).
+    first_chain = seed_ref[2] + pl.program_id(0) * B
+    if rng_hw:
+        pltpu.prng_seed(seed_ref[0] + seed_ref[2] // B + pl.program_id(0))
 
     def onehot_gather(plane, oh):
         """Entity gather [B,N] x one-hot [M,N] -> [B,M].
@@ -534,9 +545,17 @@ def _fused_kernel(
                 gparts.append(anc_rows)
         gmat = jnp.concatenate(gparts, axis=0)  # [M, N]
 
-        gx_all = onehot_gather(x, gmat)
-        gy_all = onehot_gather(y, gmat)
-        atr = onehot_gather(rot, a_t)
+        # ONE stacked [3B, N] x [N, M] gather for all three pose planes
+        # (x, y, rot) — was three separate HIGHEST-precision MXU dispatches
+        # (each 6 passes); the rot rows only contribute the angle-target
+        # columns but the extra MXU flops are free (the MXU is idle).
+        # Row-slicing [3B, M] at multiples of B keeps sublane alignment.
+        xyr = jnp.concatenate([x, y, rot], axis=0)  # [3B, N]
+        g_all3 = onehot_gather(xyr, gmat)  # [3B, M]
+        gx_all = jax.lax.slice_in_dim(g_all3, 0, B, axis=0)
+        gy_all = jax.lax.slice_in_dim(g_all3, B, 2 * B, axis=0)
+        gr_all = jax.lax.slice_in_dim(g_all3, 2 * B, 3 * B, axis=0)
+        atr = gr_all[:, 2 * r_cnt + a_cnt : 2 * r_cnt + 2 * a_cnt]
         sx = gx_all[:, 0:r_cnt]
         sy_ = gy_all[:, 0:r_cnt]
         tx = gx_all[:, r_cnt : 2 * r_cnt]
@@ -620,6 +639,11 @@ def _fused_kernel(
             cph = jnp.where(rf > 0, cph, jnp.sin(rot))
             fp = jnp.sum(-cph * mask_row, axis=1, keepdims=True)
 
+        # off-limits AABBs: computed ONCE and shared by the off-limits,
+        # clearance, and surface-area sections (was recomputed per section
+        # — 3x the [B, N] plane ops on an issue-bound step)
+        omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N]
+
         # --- N x N terms, chain-vectorized: symmetry + off-limits ----------
         # [B, N, N] tiles with i (reflection/row) on sublanes, j (candidate)
         # on lanes; per-i results reduce over lanes to [B, N], the i mask is
@@ -642,7 +666,6 @@ def _fused_kernel(
             off = jnp.zeros((B, 1), jnp.float32)
         else:
             if with_offlimits:
-                omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N]
                 ar = inter_area(
                     omnx[:, :, None], omny[:, :, None],
                     omxx[:, :, None], omxy[:, :, None],
@@ -665,7 +688,6 @@ def _fused_kernel(
             # few real clearances: unroll them as [B, N] plane math with
             # params from SMEM — ~4x less VPU work than the 8-sublane-
             # padded [B, C, N] tile when only 1-4 clearances are real
-            omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N]
             clr_sum = jnp.zeros((B, 1), jnp.float32)
             sa_clr = jnp.zeros((B, 1), jnp.float32)
             for c in range(n_clr_real):
@@ -716,7 +738,6 @@ def _fused_kernel(
             cmny = cmy + cay
             cmxx = cMx + cax
             cmxy = cMy + cay
-            omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N]
             ar = inter_area(
                 cmnx[:, :, None], cmny[:, :, None],
                 cmxx[:, :, None], cmxy[:, :, None],
@@ -741,7 +762,6 @@ def _fused_kernel(
         if 'sa' in _DEBUG_SKIP:
             sa = jnp.zeros((B, 1), jnp.float32)
         else:
-            omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N] planes
             obj_out = outside_area(omnx, omny, omxx, omxy)
             sa = sa_clr + (
                 -jnp.sum(obj_out * mask_row, axis=1, keepdims=True)
@@ -978,45 +998,45 @@ def _fused_kernel(
         l_oh = (sel[:, None, :] > 0) & g_on  # [B,1,N]
         return jnp.where(l_oh, newcol[:, :, None], sm)
 
-    def scratch_body(x_s, y_s, rot_s, aux_s, cur_s, sm_s, so_s, cnt_s):
+    def scratch_body(p_s, cur_s, sm_s, so_s, cnt_s):
         # one [B, LANE] random block per call; sw path counts draws in SMEM
         cnt_s[0] = jnp.int32(0)
 
         def draw_block():
             if 'rng' in _DEBUG_SKIP:
                 return jnp.full((B, LANE), 0.5, jnp.float32)
-            if sw_rng:
-                c = cnt_s[0]
-                cnt_s[0] = c + 1
-                base = (seed_val * _i32c(0x9E3779B9)) ^ (c * _i32c(0x85EBCA6B))
-                return _uniform_sw(base, (B, LANE))
-            return _uniform((B, LANE))
+            if rng_hw:
+                return _uniform((B, LANE))
+            c = cnt_s[0]
+            cnt_s[0] = c + 1
+            base = (seed_ref[0] * _i32c(0x9E3779B9)) ^ (c * _i32c(0x85EBCA6B))
+            return _uniform_sw(base, (B, LANE), row_offset=first_chain)
 
-        # aux planes: z, rotX, rotZ — only touched by swaps
-        x_s[:, :] = pose_ref[0, :, :]
-        y_s[:, :] = pose_ref[1, :, :]
-        aux_s[0, :, :] = pose_ref[2, :, :]
-        aux_s[1, :, :] = pose_ref[3, :, :]
-        rot_s[:, :] = pose_ref[4, :, :]
-        aux_s[2, :, :] = pose_ref[5, :, :]
+        # all six pose planes live in ONE stacked [6, B, N] scratch
+        # (0=x, 1=y, 2=z, 3=rotX, 4=rotY, 5=rotZ — the pose_ref layout):
+        # plane-symmetric bookkeeping (swap deltas, accept commit, IO)
+        # then runs as single wide ops instead of six thin [B, N] ops.
+        # The step is ISSUE-bound (B=64 -> B=128 buys ~0%), so op count —
+        # not element count — prices the residual (docs/PERFORMANCE.md,
+        # round-3 "Batched materialized commit").
+        p_s[:, :, :] = pose_ref[:, :, :]
 
         # hot-loop totals never touch a [B,N,N] tile: symmetry rides the
         # slab maxima (or a full eval in the non-incremental A/B path) and
         # FIXED-mode off-limits rides the slab pair sums in both paths
+        x0, y0, rot0 = p_s[0, :, :], p_s[1, :, :], p_s[4, :, :]
         if incremental:
-            sm_s[:, :, :] = slab_maxima_init(x_s[:, :], y_s[:, :], rot_s[:, :])
-            t_other, _ = costs_of(
-                x_s[:, :], y_s[:, :], rot_s[:, :], False, with_sym=False
-            )
+            sm_s[:, :, :] = slab_maxima_init(x0, y0, rot0)
+            t_other, _ = costs_of(x0, y0, rot0, False, with_sym=False)
             total0 = t_other + w_sy * sym_from_sm(sm_s[:, :, :])
         else:
-            total0, _ = costs_of(x_s[:, :], y_s[:, :], rot_s[:, :], False)
+            total0, _ = costs_of(x0, y0, rot0, False)
         if not parity:
             if incremental:
-                so_s[:, :, :] = off_state_init(x_s[:, :], y_s[:, :])
+                so_s[:, :, :] = off_state_init(x0, y0)
                 off0 = off_from_so(so_s[:, :, :])
             else:
-                off0 = off_from_so(off_state_init(x_s[:, :], y_s[:, :]))
+                off0 = off_from_so(off_state_init(x0, y0))
             total0 = total0 + w_ol * off0
         cur_s[:, 0:1] = total0
         cur_s[:, 1:2] = jnp.zeros((B, 1), jnp.float32)  # accept count
@@ -1032,9 +1052,9 @@ def _fused_kernel(
             equivalent of the reference's blockxDim per-thread proposals,
             ``Kernel.cu:798-828``; same semantics as the XLA engine's
             ``block_propose_from_uniforms``)."""
-            x = x_s[:, :]
-            y = y_s[:, :]
-            rot = rot_s[:, :]
+            x = p_s[0, :, :]
+            y = p_s[1, :, :]
+            rot = p_s[4, :, :]
             us0 = draw_block()  # dedicated accept draw(s)
             if accept_draws == 1:
                 u_acc = us0[:, 1:2]
@@ -1051,7 +1071,7 @@ def _fused_kernel(
             n_unf_m1 = jnp.maximum(n_unf - 1.0, 0.0)
 
             scale_b = jnp.exp(cur_s[:, 2:3]) if adapt else scale
-            carry0 = (x, y, rot, aux_s[0, :, :], aux_s[1, :, :], aux_s[2, :, :])
+            carry0 = (x, y, rot, p_s[2, :, :], p_s[3, :, :], p_s[5, :, :])
             if incremental:
                 carry0 = (*carry0, sm_s[:, :, :])
                 if not parity:
@@ -1139,12 +1159,13 @@ def _fused_kernel(
             acc_b = (u_acc < ratio) & (gate > 0)
             acc = acc_b.astype(jnp.float32)
 
-            x_s[:, :] = jnp.where(acc_b, x_star, x)
-            y_s[:, :] = jnp.where(acc_b, y_star, y)
-            rot_s[:, :] = jnp.where(acc_b, rot_star, rot)
-            aux_s[0, :, :] = jnp.where(acc_b, a0s, aux_s[0, :, :])
-            aux_s[1, :, :] = jnp.where(acc_b, a1s, aux_s[1, :, :])
-            aux_s[2, :, :] = jnp.where(acc_b, a2s, aux_s[2, :, :])
+            star_stack = jnp.concatenate(
+                [v[None, :, :] for v in
+                 (x_star, y_star, a0s, a1s, rot_star, a2s)], axis=0
+            )  # [6, B, N] in pose-plane order
+            p_s[:, :, :] = jnp.where(
+                acc_b[None, :, :], star_stack, p_s[:, :, :]
+            )
             if incremental:
                 sm_s[:, :, :] = jnp.where(
                     acc_b[:, :, None], sm_star, sm_s[:, :, :]
@@ -1173,9 +1194,10 @@ def _fused_kernel(
             iteration count rounds up to whole draw blocks, and the tail
             steps past the requested count must not commit state (they
             still burn a few step-evals, <=unroll-1 of them total)."""
-            x = x_s[:, :]
-            y = y_s[:, :]
-            rot = rot_s[:, :]
+            ps = p_s[:, :, :]  # [6, B, N] — all pose planes, one load
+            x = ps[0]
+            y = ps[1]
+            rot = ps[4]
 
             move = jnp.minimum((us[:, 0:1] * 3.0).astype(jnp.int32), 2)  # [B,1]
             if accept_draws == 1:
@@ -1214,50 +1236,42 @@ def _fused_kernel(
             is_r = (move == 1).astype(jnp.float32)
             is_s = ((move == 2) & (n_objs >= 2)).astype(jnp.float32)
 
+            # translate/rotate deltas are plane-specific [B, N] math...
             w_t = is_t * sel1
-            x_star = x + w_t * (jnp.clip(x + dx, mnx, mxx) - x)
-            y_star = y + w_t * (jnp.clip(y + dy, mny, mxy) - y)
+            tdx = w_t * (jnp.clip(x + dx, mnx, mxx) - x)
+            tdy = w_t * (jnp.clip(y + dy, mny, mxy) - y)
             wrapped = rot + drot
             wrapped = jnp.where(wrapped < 0, wrapped + 2 * pi, wrapped)
             wrapped = jnp.where(wrapped > 2 * pi, wrapped - 2 * pi, wrapped)
-            rot_star = rot + (is_r * sel1) * (wrapped - rot)
+            tdr = (is_r * sel1) * (wrapped - rot)
 
-            # swap deltas for all 6 planes
+            # ...but the swap delta, the frozen gate, and the star pose are
+            # plane-symmetric: ONE [6, B, N] op chain covers all six planes
+            # (incl. the z/rotX/rotZ aux planes only swaps touch) instead
+            # of 6x thin [B, N] ops — the issue-bound step prices op count.
             sw = is_s * jnp.where(has_unfrozen, 1.0, 0.0)
             dsel = sel1 - sel2
-
-            def swapped(plane_star, plane):
-                r1v = jnp.sum(sel1 * plane, axis=1, keepdims=True)
-                r2v = jnp.sum(sel2 * plane, axis=1, keepdims=True)
-                return plane_star + sw * dsel * (r2v - r1v)
-
-            x_star = swapped(x_star, x)
-            y_star = swapped(y_star, y)
-            rot_star = swapped(rot_star, rot)
-
+            r1v = jnp.sum(sel1[None, :, :] * ps, axis=2, keepdims=True)
+            r2v = jnp.sum(sel2[None, :, :] * ps, axis=2, keepdims=True)
+            zero_d = jnp.zeros((1, B, n), jnp.float32)
+            tdelta = jnp.concatenate(
+                [tdx[None], tdy[None], zero_d, zero_d, tdr[None], zero_d],
+                axis=0,
+            )  # [6, B, N]
             gate = jnp.where(has_unfrozen, 1.0, 0.0)
-            x_star = x + gate * (x_star - x)
-            y_star = y + gate * (y_star - y)
-            rot_star = rot + gate * (rot_star - rot)
+            star = ps + gate * (
+                tdelta + (sw * dsel)[None, :, :] * (r2v - r1v)
+            )  # [6, B, N]
+            x_star = star[0]
+            y_star = star[1]
+            rot_star = star[4]
 
             gate1 = jnp.full((B, 1), 1.0, jnp.float32) * gate
-            if incremental and not defer_commit:
-                # Materialized incremental symmetry (round-1 semantics):
-                # build sm_star before the accept decision, commit with ONE
-                # [B,S,N] select. More critical-path latency than the
-                # deferred path below but fewer total tile passes — the
-                # faster variant on v5e, where the step is throughput-bound
-                # (MH_FUSED_DEFER=1 selects the other).
-                #
-                # Both moved objects' evaluations are batched: one
-                # [B,16,N] dual-slab row eval and one [B,2S,N] stacked
-                # segmented column max, instead of two sequential
-                # sm_update calls. Bitwise-equal to the sequential order:
-                # every cell both paths touch is a max over the same
-                # one-hot-gathered values (the overlap cell [s2, lane1] is
-                # max_{j in s2} val[k1, j] either way — max is
-                # order-insensitive), pinned by the interpret-mode A/B vs
-                # MH_FUSED_DEFER=1 and the bitwise-vs-full-recompute test.
+            if incremental:
+                # shared symmetry prelude for both commit variants: one
+                # [B,16,N] dual-slab row eval, and BOTH moved lanes' value
+                # rows in one [B,2,N] sym_val chain (was two sequential
+                # [B,N] evals — the issue-bound step prices op count)
                 rx_st, ry_st, rrot_st = reflections(x_star, y_star, rot_star)
                 s1_i = (
                     jnp.sum(sel1 * iota_n, axis=1, keepdims=True)
@@ -1271,18 +1285,41 @@ def _fused_kernel(
                     s1_i, s2_i, x_star, y_star, rot_star,
                     rx_st, ry_st, rrot_st,
                 )  # [B,N] x 2
-
-                def vrow_of(sel):
-                    rxk = jnp.sum(sel * rx_st, axis=1, keepdims=True)
-                    ryk = jnp.sum(sel * ry_st, axis=1, keepdims=True)
-                    rrk = jnp.sum(sel * rrot_st, axis=1, keepdims=True)
-                    v = sym_val(x_star, y_star, rot_star, rxk, ryk, rrk)
-                    return jnp.where(mask_row > 0, v, _NEG_HUGE)
-
-                vrow1 = vrow_of(sel1)  # [B,N]
-                vrow2 = vrow_of(sel2)
+                sel12 = jnp.concatenate(
+                    [sel1[:, None, :], sel2[:, None, :]], axis=1
+                )  # [B,2,N]
+                rxk = jnp.sum(sel12 * rx_st[:, None, :], axis=2, keepdims=True)
+                ryk = jnp.sum(sel12 * ry_st[:, None, :], axis=2, keepdims=True)
+                rrk = jnp.sum(sel12 * rrot_st[:, None, :], axis=2, keepdims=True)
+                v12 = sym_val(
+                    x_star[:, None, :], y_star[:, None, :],
+                    rot_star[:, None, :], rxk, ryk, rrk,
+                )  # [B,2,N]
+                v12 = jnp.where(mask3j > 0, v12, _NEG_HUGE)
+                # keep the [B,1,N] slice forms: every consumer broadcasts
+                # over sublanes or reduces axis 2, so no squeeze is needed
+                v1_3 = jax.lax.slice_in_dim(v12, 0, 1, axis=1)  # [B,1,N]
+                v2_3 = jax.lax.slice_in_dim(v12, 1, 2, axis=1)
                 stale1 = (iota_s3 == s1_i) & g1_on  # [B,S,1]
                 stale2 = (iota_s3 == s2_i) & g2_on
+            if incremental and not defer_commit:
+                # Materialized incremental symmetry (round-1 semantics):
+                # build sm_star before the accept decision, commit with ONE
+                # [B,S,N] select. More critical-path latency than the
+                # deferred path below but fewer total tile passes — the
+                # faster variant on v5e, where the step is throughput-bound
+                # (MH_FUSED_DEFER=1 selects the other).
+                #
+                # Both moved objects' evaluations are batched: the dual-slab
+                # row eval above plus one [B,2S,N] stacked segmented column
+                # max, instead of two sequential sm_update calls.
+                # Bitwise-equal to the sequential order: every cell both
+                # paths touch is a max over the same one-hot-gathered values
+                # (the overlap cell [s2, lane1] is max_{j in s2} val[k1, j]
+                # either way — max is order-insensitive), pinned by the
+                # interpret-mode A/B vs MH_FUSED_DEFER=1 and the
+                # bitwise-vs-full-recompute test.
+                #
                 # rows: moved candidates' slabs recomputed for all lanes.
                 # Write row2 after row1 (same-slab cells agree bitwise:
                 # both rows are the same slab's max at the star pose).
@@ -1292,8 +1329,8 @@ def _fused_kernel(
                 # [B,2S,N] masked reduction (axis 2)
                 v3 = jnp.concatenate(
                     [
-                        jnp.where(slab_mask3, vrow1[:, None, :], _NEG_HUGE),
-                        jnp.where(slab_mask3, vrow2[:, None, :], _NEG_HUGE),
+                        jnp.where(slab_mask3, v1_3, _NEG_HUGE),
+                        jnp.where(slab_mask3, v2_3, _NEG_HUGE),
                     ],
                     axis=1,
                 )  # [B,2S,N]
@@ -1321,31 +1358,6 @@ def _fused_kernel(
                 # (max_s newcol[s] == max_j vrow[j] — max is order-insensitive
                 # so this is bitwise-equal to the materialized path). State is
                 # committed after (and gated by) acceptance instead.
-                rx_st, ry_st, rrot_st = reflections(x_star, y_star, rot_star)
-                s1_i = (
-                    jnp.sum(sel1 * iota_n, axis=1, keepdims=True)
-                ).astype(jnp.int32)[:, :, None] // 8  # [B,1,1]
-                s2_i = (
-                    jnp.sum(sel2 * iota_n, axis=1, keepdims=True)
-                ).astype(jnp.int32)[:, :, None] // 8
-                g1_on = gate1[:, :, None] > 0  # [B,1,1]
-                g2_on = sw[:, :, None] > 0
-                row1, row2 = dual_slab_row_max(
-                    s1_i, s2_i, x_star, y_star, rot_star,
-                    rx_st, ry_st, rrot_st,
-                )  # [B,N] x 2
-
-                def vrow_of(sel):
-                    rxk = jnp.sum(sel * rx_st, axis=1, keepdims=True)
-                    ryk = jnp.sum(sel * ry_st, axis=1, keepdims=True)
-                    rrk = jnp.sum(sel * rrot_st, axis=1, keepdims=True)
-                    v = sym_val(x_star, y_star, rot_star, rxk, ryk, rrk)
-                    return jnp.where(mask_row > 0, v, _NEG_HUGE)
-
-                vrow1 = vrow_of(sel1)  # [B,N]
-                vrow2 = vrow_of(sel2)
-                stale1 = (iota_s3 == s1_i) & g1_on  # [B,S,1]
-                stale2 = (iota_s3 == s2_i) & g2_on
                 base = jnp.max(
                     jnp.where(stale1 | stale2, _NEG_HUGE, sm_s[:, :, :]),
                     axis=1,
@@ -1354,8 +1366,8 @@ def _fused_kernel(
                     base, jnp.where(gate1 > 0, row1, _NEG_HUGE)
                 )
                 best = jnp.maximum(best, jnp.where(sw > 0, row2, _NEG_HUGE))
-                m1 = jnp.max(vrow1, axis=1, keepdims=True)  # [B,1]
-                m2 = jnp.max(vrow2, axis=1, keepdims=True)
+                m1 = jnp.max(v1_3, axis=2)  # [B,1]
+                m2 = jnp.max(v2_3, axis=2)
                 best = jnp.where((sel1 > 0) & (gate1 > 0), m1, best)
                 best = jnp.where((sel2 > 0) & (sw > 0), m2, best)
                 sym_star = -jnp.sum(
@@ -1384,10 +1396,10 @@ def _fused_kernel(
 
             # where-selects keep the stored state bitwise equal to the star
             # pose on acceptance (an arithmetic blend x+acc*(star-x) can be
-            # off by an ulp, which would desync the carried slab maxima)
-            x_s[:, :] = jnp.where(acc_b, x_star, x)
-            y_s[:, :] = jnp.where(acc_b, y_star, y)
-            rot_s[:, :] = jnp.where(acc_b, rot_star, rot)
+            # off by an ulp, which would desync the carried slab maxima).
+            # ONE stacked [6,B,N] select commits every plane — the aux
+            # (z/rotX/rotZ) swap deltas are already inside `star`.
+            p_s[:, :, :] = jnp.where(acc_b[None, :, :], star, ps)
             if incremental and not defer_commit:
                 sm_s[:, :, :] = jnp.where(
                     acc_b[:, :, None], sm_star, sm_s[:, :, :]
@@ -1406,12 +1418,10 @@ def _fused_kernel(
                 rowpick = jnp.where(w2, row2[:, None, :], row1[:, None, :])
                 sm = jnp.where(w1 | w2, rowpick, sm_s[:, :, :])
                 newcol1 = jnp.max(
-                    jnp.where(slab_mask3, vrow1[:, None, :], _NEG_HUGE),
-                    axis=2,
+                    jnp.where(slab_mask3, v1_3, _NEG_HUGE), axis=2
                 )  # [B,S]
                 newcol2 = jnp.max(
-                    jnp.where(slab_mask3, vrow2[:, None, :], _NEG_HUGE),
-                    axis=2,
+                    jnp.where(slab_mask3, v2_3, _NEG_HUGE), axis=2
                 )
                 c1 = (sel1[:, None, :] > 0) & g1_on & a3  # [B,1,N]
                 c2 = (sel2[:, None, :] > 0) & g2_on & a3
@@ -1423,14 +1433,6 @@ def _fused_kernel(
                     so_s[:, :, :] = jnp.where(
                         acc_b[:, :, None], so_star, so_s[:, :, :]
                     )
-            # swap is the only move touching aux planes
-            for k in range(3):
-                plane = aux_s[k, :, :]
-                r1v = jnp.sum(sel1 * plane, axis=1, keepdims=True)
-                r2v = jnp.sum(sel2 * plane, axis=1, keepdims=True)
-                aux_s[k, :, :] = jnp.where(
-                    acc_b, plane + sw * dsel * (r2v - r1v), plane
-                )
             cur_s[:, 0:1] = jnp.where(acc_b, total_star, cur)
             cur_s[:, 1:2] = cur_s[:, 1:2] + acc
             if adapt:
@@ -1475,7 +1477,7 @@ def _fused_kernel(
         # slab maxima when incremental (bitwise-equal to a full eval);
         # OffLimits is always re-evaluated chunked ([B,8,N] fori) so the
         # kernel's VMEM watermark stays O(B*N) at any block size.
-        xf, yf, rotf = x_s[:, :], y_s[:, :], rot_s[:, :]
+        xf, yf, rotf = p_s[0, :, :], p_s[1, :, :], p_s[4, :, :]
         if incremental:
             t_nosym, terms = costs_of(xf, yf, rotf, False, with_sym=False)
             sym_w = w_sy * sym_from_sm(sm_s[:, :, :])
@@ -1491,12 +1493,7 @@ def _fused_kernel(
             if not parity:
                 total = total + off_w
 
-        pose_out_ref[0, :, :] = x_s[:, :]
-        pose_out_ref[1, :, :] = y_s[:, :]
-        pose_out_ref[2, :, :] = aux_s[0, :, :]
-        pose_out_ref[3, :, :] = aux_s[1, :, :]
-        pose_out_ref[4, :, :] = rot_s[:, :]
-        pose_out_ref[5, :, :] = aux_s[2, :, :]
+        pose_out_ref[:, :, :] = p_s[:, :, :]
 
         # per-lane stores, not a concatenate: Mosaic rejects concatenating
         # [B,1] values whose producers left them on different vreg offsets
@@ -1511,10 +1508,7 @@ def _fused_kernel(
 
     pl.run_scoped(
         scratch_body,
-        x_s=pltpu.VMEM((B, n), jnp.float32),
-        y_s=pltpu.VMEM((B, n), jnp.float32),
-        rot_s=pltpu.VMEM((B, n), jnp.float32),
-        aux_s=pltpu.VMEM((3, B, n), jnp.float32),
+        p_s=pltpu.VMEM((6, B, n), jnp.float32),
         cur_s=pltpu.VMEM((B, LANE), jnp.float32),
         sm_s=pltpu.VMEM((B, n // 8, n), jnp.float32),
         so_s=pltpu.VMEM((B, n // 8, n), jnp.float32),
@@ -1539,6 +1533,7 @@ def _fused_runner(
     mode: CostMode,
     defer_commit: bool,
     gather_vpu: bool,
+    rng_hw: bool,
     incremental: bool,
     moves_per_step: int,
     adapt: bool,
@@ -1572,9 +1567,10 @@ def _fused_runner(
         clr_unroll=clr_unroll,
         n_clr_real=n_clr_real,
         clr_anchors=clr_anchors,
-        # the interpreter has no hardware-PRNG lowering; use the software
-        # counter-based stream there (still deterministic per global block)
-        sw_rng=interpret,
+        # the counter-based stream (default) is pure jnp/lax, so interpret
+        # and compiled runs share ONE stream keyed by global chain id;
+        # rng_hw is force-disabled under the interpreter (no prng_* lowering)
+        rng_hw=rng_hw and not interpret,
     )
     call = pl.pallas_call(
         kernel,
@@ -1681,7 +1677,7 @@ def run_chains_fused(
 
     def invoke(runner, packed, bc):
         return runner(
-            jnp.asarray([seed, iterations], jnp.int32),
+            jnp.asarray([seed, iterations, 0], jnp.int32),
             *_runner_args(packed, p0),
         )
 
@@ -1776,10 +1772,18 @@ def _fit_key(n: int, cfg: SamplerConfig, incremental: bool,
     # count, so a small run (e.g. an 8-chain test at the same padded scene
     # size) must not record its tiny block as "proven" for a 1024-chain
     # production call — that poisoning cost 1.7x at the headline shape.
+    # every A/B env knob that changes the kernel's VMEM footprint must be
+    # in the key, or a run under one knob records its (block, vmem) under
+    # the key the default config loads — the same poisoning class the
+    # n_chains term above guards against (round-3 advisor finding: DEFER
+    # changes live temps, the vpu gather builds [B,M,N] tiles)
     return (
         f"{n}:{int(incremental)}:{cfg.mode.name}:{cfg.n_moves_per_step}"
         f":{cfg.accept_draws}:{int(cfg.adapt)}:{n_chains}"
         f":{os.environ.get('MH_FUSED_UNROLL', '')}"
+        f":{os.environ.get('MH_FUSED_DEFER', '0')}"
+        f":{os.environ.get('MH_FUSED_GATHER', 'mxu')}"
+        f":{os.environ.get('MH_FUSED_RNG', 'counter')}"
     )
 
 
@@ -1857,8 +1861,10 @@ def _get_runner(
     # compile past 40 min at the headline shape (another instance of the
     # slab-code compile pathology) — A/B only until that's understood
     gather_vpu = os.environ.get("MH_FUSED_GATHER", "mxu") == "vpu"
+    rng_hw = os.environ.get("MH_FUSED_RNG", "counter") == "hw"
     cache_key = (
         n, n0, n_chains, bc, cfg.mode, incremental, defer_commit, gather_vpu,
+        rng_hw,
         cfg.n_moves_per_step, cfg.adapt, cfg.accept_draws, interpret,
         clr_unroll, packed.n_clr_real, packed.clr_anchors,
         packed.rel_src_oh.shape, packed.rel_params.shape,
@@ -1872,7 +1878,7 @@ def _get_runner(
         runner = _fused_runner(
             n=n, n0=n0, n_chains=n_chains, bc=bc,
             mode=cfg.mode, incremental=incremental,
-            defer_commit=defer_commit, gather_vpu=gather_vpu,
+            defer_commit=defer_commit, gather_vpu=gather_vpu, rng_hw=rng_hw,
             moves_per_step=cfg.n_moves_per_step, adapt=cfg.adapt,
             accept_draws=cfg.accept_draws,
             clr_unroll=clr_unroll, n_clr_real=packed.n_clr_real,
@@ -1907,13 +1913,14 @@ def run_chains_fused_sharded(
     local chains; the scene is replicated; zero collectives in the loop
     (chains are independent, like the reference's grid of blocks).
 
-    Device-count invariance: each kernel grid block seeds its PRNG from
-    ``seed + global_block_index``, and the per-device seed base passed here
-    is offset by the device's first global block — so the random streams
-    (and therefore every chain trajectory) are bitwise identical on 1 chip
-    or a pod slice, provided the same per-grid-step block size ``bc`` is
-    used (pass ``bc_override`` when comparing across device counts whose
-    defaults would differ). Returns the same tuple as
+    Device-count invariance: the default counter-based stream is a pure
+    function of (seed, GLOBAL chain id, draw counter, lane) — each device
+    passes its first global chain index to the kernel — so every chain
+    trajectory is bitwise identical on 1 chip or a pod slice, for ANY
+    per-grid-step block size ``bc`` (fit-cache state and OOM retries
+    cannot change results). Under ``MH_FUSED_RNG=hw`` (block-seeded
+    hardware stream) invariance additionally requires equal ``bc`` across
+    runs — pass ``bc_override`` there. Returns the same tuple as
     :func:`run_chains_fused` with global (mesh-sharded) arrays.
     """
     from jax.sharding import PartitionSpec as P
@@ -1928,12 +1935,13 @@ def run_chains_fused_sharded(
     p0 = pose0 if pose0.ndim == 3 else jnp.broadcast_to(pose0, (n_chains, n0, 6))
 
     def invoke(runner, packed, bc):
-        blocks_local = n_local // bc
-
         def device_fn(p0_local, *scene_args):
             dev = jax.lax.axis_index(CHAINS_AXIS)
-            seed_arr = jnp.asarray([seed, iterations], jnp.int32) + jnp.stack(
-                [(dev * blocks_local).astype(jnp.int32), jnp.int32(0)]
+            # element 2 = this device's first GLOBAL chain index; the
+            # kernel derives per-chain streams (counter mode) or the
+            # global block seed (hw mode) from it
+            seed_arr = jnp.asarray([seed, iterations, 0], jnp.int32) + jnp.stack(
+                [jnp.int32(0), jnp.int32(0), (dev * n_local).astype(jnp.int32)]
             )
             return runner(seed_arr, scene_args[0], scene_args[1], p0_local,
                           *scene_args[2:])

@@ -1,10 +1,11 @@
 """Fused-kernel chain sharding over a device mesh (CPU interpret mode).
 
-The hardware-PRNG primitives have no CPU interpreter lowering, so these
-tests run the kernel's software counter-based stream (``sw_rng``) — which
-is seeded exactly like the hardware one (per GLOBAL grid block), so the
-device-count-invariance contract is the same contract the TPU path ships
-with (pinned on hardware by test_fused_kernel.py's sharded test).
+The kernel's default counter-based stream is pure jnp/lax, keyed by
+(seed, GLOBAL chain id, draw counter, lane) — the interpreter runs the
+same stream the compiled TPU kernel ships with, so the invariance
+contracts pinned here (device count AND chain-block size) are the
+production contracts (also exercised on hardware by test_fused_kernel.py's
+sharded test).
 """
 
 import jax
@@ -53,6 +54,24 @@ def test_fused_sharded_device_count_invariant():
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p4))
     np.testing.assert_array_equal(np.asarray(bd0), np.asarray(bd2))
     np.testing.assert_array_equal(np.asarray(bd0), np.asarray(bd4))
+
+
+def test_fused_block_size_invariant():
+    """Chain trajectories must not depend on the chain-block size ``bc``
+    (the counter-based stream is keyed by global chain id): a fit-cache
+    entry or an OOM retry that changes the block must not change results
+    (round-3 advisor finding). Also crosses bc with a sharded mesh."""
+    p_b2, bd_b2, acc_b2, _ = _run(0, bc=2)
+    p_b4, bd_b4, acc_b4, _ = _run(0, bc=4)
+    p_b8, bd_b8, acc_b8, _ = _run(0, bc=8)
+    np.testing.assert_array_equal(np.asarray(p_b2), np.asarray(p_b4))
+    np.testing.assert_array_equal(np.asarray(p_b2), np.asarray(p_b8))
+    np.testing.assert_array_equal(np.asarray(acc_b2), np.asarray(acc_b4))
+    np.testing.assert_array_equal(np.asarray(bd_b2), np.asarray(bd_b8))
+    # 2-device mesh with bc=4 vs unsharded bc=2: both axes vary at once
+    p_m, _, acc_m, _ = _run(2, bc=4)
+    np.testing.assert_array_equal(np.asarray(p_b2), np.asarray(p_m))
+    np.testing.assert_array_equal(np.asarray(acc_b2), np.asarray(acc_m))
 
 
 def test_fused_sharded_runs_mh():
