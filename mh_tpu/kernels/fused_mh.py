@@ -482,6 +482,45 @@ def _fused_kernel(
         iota_n.reshape(1, n) == clr_p_ref[:, 7].reshape(c_cnt_s, 1)
     ).astype(jnp.float32)  # [C, N]
 
+    # --- loop-invariant scene loads + one-hot gather assembly, hoisted ----
+    # out of the per-step cost eval: these loads/reshapes/concats are
+    # pose-independent, and in-loop they re-emit ~10 thin ops per step
+    # (every thin op costs ~25-30 cycles at the headline shape — the step
+    # prices op count, docs/PERFORMANCE.md round-4 notes).
+    rel_s_h = rel_s_ref[:, :]  # [R, N]
+    rel_t_h = rel_t_ref[:, :]
+    a_s_h = ang_s_ref[:, :]
+    a_t_h = ang_t_ref[:, :]
+    r_cnt = rel_s_h.shape[0]
+    a_cnt = a_s_h.shape[0]
+    _gparts = [rel_s_h, rel_t_h, a_s_h, a_t_h]
+    if clr_unroll and n_clr_real:
+        clr_src_h = clr_s_ref[0:n_clr_real, :]  # [C, N]
+        _gparts.append(clr_src_h)
+        if parity:
+            anc_rows_h = jnp.concatenate(
+                [
+                    (iota_n == float(clr_anchors[c])).astype(jnp.float32)
+                    for c in range(n_clr_real)
+                ],
+                axis=0,
+            )  # [C, N]
+            _gparts.append(anc_rows_h)
+    gmat_h = jnp.concatenate(_gparts, axis=0)  # [M, N]
+    lo_h = rel_p_ref[:, 0].reshape(1, r_cnt)
+    hi_h = rel_p_ref[:, 1].reshape(1, r_cnt)
+    rm_h = rel_p_ref[:, 2].reshape(1, r_cnt)
+    amin_h = ang_p_ref[:, 0].reshape(1, a_cnt)
+    amax_h = ang_p_ref[:, 1].reshape(1, a_cnt)
+    am_h = ang_p_ref[:, 2].reshape(1, a_cnt)
+    cv0_h = clr_p_ref[:, 0].reshape(1, c_cnt_s)
+    ctl_h = clr_p_ref[:, 1].reshape(1, c_cnt_s)
+    cmn_h = clr_p_ref[:, 2].reshape(1, c_cnt_s)
+    cmy_h = clr_p_ref[:, 3].reshape(1, c_cnt_s)
+    cMx_h = clr_p_ref[:, 4].reshape(1, c_cnt_s)
+    cMy_h = clr_p_ref[:, 5].reshape(1, c_cnt_s)
+    cm_h = clr_p_ref[:, 6].reshape(1, c_cnt_s)
+
     def reflections(x, y, rot):
         """Mirror pose across the symmetry axis (Kernel.cu:290-299); [B,N]."""
         s = 2.0 * (fx * ux + fy * uy - (x * ux + y * uy))
@@ -524,34 +563,13 @@ def _fused_kernel(
         # operands through bf16 (~0.4% rel), which truncates the gathered
         # coordinates — measured up to 1.6 absolute clearance error at
         # piled-up FIXED-mode poses.
-        rel_s = rel_s_ref[:, :]  # [R, N]
-        rel_t = rel_t_ref[:, :]
-        a_s = ang_s_ref[:, :]
-        a_t = ang_t_ref[:, :]
-        r_cnt = rel_s.shape[0]
-        a_cnt = a_s.shape[0]
-        gparts = [rel_s, rel_t, a_s, a_t]
-        if clr_unroll and n_clr_real:
-            clr_src = clr_s_ref[0:n_clr_real, :]  # [C, N]
-            gparts.append(clr_src)
-            if parity:
-                anc_rows = jnp.concatenate(
-                    [
-                        (iota_n == float(clr_anchors[c])).astype(jnp.float32)
-                        for c in range(n_clr_real)
-                    ],
-                    axis=0,
-                )  # [C, N]
-                gparts.append(anc_rows)
-        gmat = jnp.concatenate(gparts, axis=0)  # [M, N]
-
         # ONE stacked [3B, N] x [N, M] gather for all three pose planes
         # (x, y, rot) — was three separate HIGHEST-precision MXU dispatches
         # (each 6 passes); the rot rows only contribute the angle-target
         # columns but the extra MXU flops are free (the MXU is idle).
         # Row-slicing [3B, M] at multiples of B keeps sublane alignment.
         xyr = jnp.concatenate([x, y, rot], axis=0)  # [3B, N]
-        g_all3 = onehot_gather(xyr, gmat)  # [3B, M]
+        g_all3 = onehot_gather(xyr, gmat_h)  # [3B, M]
         gx_all = jax.lax.slice_in_dim(g_all3, 0, B, axis=0)
         gy_all = jax.lax.slice_in_dim(g_all3, B, 2 * B, axis=0)
         gr_all = jax.lax.slice_in_dim(g_all3, 2 * B, 3 * B, axis=0)
@@ -571,9 +589,7 @@ def _fused_kernel(
             pw = jnp.zeros((B, 1), jnp.float32)
             pwa = jnp.zeros((B, 1), jnp.float32)
         else:
-            lo = rel_p_ref[:, 0].reshape(1, r_cnt)
-            hi = rel_p_ref[:, 1].reshape(1, r_cnt)
-            rm = rel_p_ref[:, 2].reshape(1, r_cnt)
+            lo, hi, rm = lo_h, hi_h, rm_h
             d = jnp.sqrt(jnp.square(sx - tx) + jnp.square(sy_ - ty))
             lo_safe = jnp.where(lo > 0, lo, 1.0)
             d_safe = jnp.where(d > 0, d, 1.0)
@@ -586,9 +602,7 @@ def _fused_kernel(
             pw = jnp.sum((pen * rm)[:, :, None], axis=1)  # [B,1]
 
             # --- pairwise angle (Kernel.cu:236-263) ------------------------
-            amin = ang_p_ref[:, 0].reshape(1, a_cnt)
-            amax = ang_p_ref[:, 1].reshape(1, a_cnt)
-            am = ang_p_ref[:, 2].reshape(1, a_cnt)
+            amin, amax, am = amin_h, amax_h, am_h
             th = theta_fn(asx, asy, atx, aty, atr)
             dev = jnp.minimum(jnp.abs(th - amin), jnp.abs(th - amax))
             wrap_case = amin > amax
@@ -726,13 +740,8 @@ def _fused_kernel(
             c_cnt = clr_s_ref.shape[0]
             cax = onehot_gather(x, clr_s_ref[:, :])  # [B, C] anchors
             cay = onehot_gather(y, clr_s_ref[:, :])
-            cv0 = clr_p_ref[:, 0].reshape(1, c_cnt)
-            ctl = clr_p_ref[:, 1].reshape(1, c_cnt)
-            cmn = clr_p_ref[:, 2].reshape(1, c_cnt)
-            cmy = clr_p_ref[:, 3].reshape(1, c_cnt)
-            cMx = clr_p_ref[:, 4].reshape(1, c_cnt)
-            cMy = clr_p_ref[:, 5].reshape(1, c_cnt)
-            cm = clr_p_ref[:, 6].reshape(1, c_cnt)
+            cv0, ctl, cmn = cv0_h, ctl_h, cmn_h
+            cmy, cMx, cMy, cm = cmy_h, cMx_h, cMy_h, cm_h
             # clearance AABBs as [B, C] planes, then one [B, C, N] area tile
             cmnx = aabb_minx(cv0, ctl, cmn, cax)  # [B, C]
             cmny = cmy + cay
@@ -1453,7 +1462,13 @@ def _fused_kernel(
             # dependent through the accepted state, only the random-bit
             # generation is batched). MH_FUSED_UNROLL overrides.
             lanes = 8 if accept_draws == 1 else 8 + accept_draws
-            unroll = max(1, LANE // lanes)
+            # default unroll 4 (was LANE//lanes = 16): measured within
+            # noise of 16 at the headline shape (0.105 vs 0.105-0.110
+            # ms/step) while compiling ~3x faster — Mosaic compile time
+            # grows ~3x per unroll doubling (docs/PERFORMANCE.md round-4
+            # "compile pathology"), and the counter RNG stream has no
+            # per-draw state to amortize.
+            unroll = min(4, max(1, LANE // lanes))
             env_unroll = os.environ.get("MH_FUSED_UNROLL", "")
             if env_unroll:
                 unroll = max(1, min(int(env_unroll), LANE // lanes))
@@ -1784,6 +1799,7 @@ def _fit_key(n: int, cfg: SamplerConfig, incremental: bool,
         f":{os.environ.get('MH_FUSED_DEFER', '0')}"
         f":{os.environ.get('MH_FUSED_GATHER', 'mxu')}"
         f":{os.environ.get('MH_FUSED_RNG', 'counter')}"
+        f":{os.environ.get('MH_FUSED_CLR', 'unroll')}"
     )
 
 
@@ -1854,7 +1870,13 @@ def _get_runner(
             f"fused kernel supports accept_draws in [1, 120], got "
             f"{cfg.accept_draws}"
         )
-    clr_unroll = packed.n_clr_real <= CLR_UNROLL_MAX
+    # MH_FUSED_CLR=tile forces the [B, C, N] tile path even at small
+    # clearance counts (A/B: fewer-but-wider ops vs the unrolled [B, N]
+    # plane math — the step prices op count, not element count)
+    clr_unroll = (
+        packed.n_clr_real <= CLR_UNROLL_MAX
+        and os.environ.get("MH_FUSED_CLR", "unroll") != "tile"
+    )
     defer_commit = os.environ.get("MH_FUSED_DEFER", "0") == "1"
     # default mxu: the VPU masked-reduction gather is bitwise-equal and
     # avoids the 6-pass HIGHEST matmuls, but its [B,M,N] tiles blow Mosaic
