@@ -57,10 +57,11 @@ import time
 # ---------------------------------------------------------------------------
 # Pinned oracle baseline (proposals/s, single-core NumPy, 100 objects).
 # Calibration: fixed seed, 200 iterations, median of 5 runs on this
-# machine's CPU (2026-08-21, idle). Re-calibrate by running
+# machine's CPU, idle (2026-08-21: 24.3, 25.2, 22.2, 20.9 across four
+# idle measurements -> 23). Re-calibrate by running
 # `python bench.py --engine oracle` on an idle machine and updating this
 # constant; the live stderr value drifting >2x from it signals rot.
-ORACLE_BASELINE_PROPOSALS_PER_S = 17.0
+ORACLE_BASELINE_PROPOSALS_PER_S = 23.0
 
 _PROTO = "@MHBENCH "
 
