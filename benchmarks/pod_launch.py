@@ -30,8 +30,15 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import sys
 import time
+
+# launched as a script from benchmarks/: make the repo root importable
+# even when the dev .pth is absent (fresh environments)
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 import numpy as np
 

@@ -13,6 +13,13 @@ docs/PERFORMANCE.md methodology corrections).
 
 from __future__ import annotations
 
+# script-launch robustness: make the repo root importable even when the
+# dev .pth is absent (fresh environments)
+import os as _os, sys as _sys
+_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _ROOT not in _sys.path:
+    _sys.path.insert(0, _ROOT)
+
 import argparse
 import json
 import math
