@@ -51,23 +51,23 @@ def block_chains(n: int) -> int:
 
     All cost terms are chain-vectorized 3-D tiles, so larger blocks
     amortize per-iteration bookkeeping until the O(B*n) VMEM temps bind.
-    The round-2 kernel (deferred-commit symmetry + batched gathers) needs
-    ~147 KB of scoped VMEM per chain at n=128, so B=128 no longer fits the
-    default 17 MB limit (the round-2 bench OOM); B=64 is the largest block
-    that does. Round-3 linearity fits at the headline shape (n=128, 1024
-    chains, v5e, 2026-08-21): B=32: 0.140, B=64: 0.124, B=128 (32M vmem):
-    0.119 ms/step — B=128's ~4% win is not worth the 2x scratch and the
-    10x longer Mosaic compile, so the default stays 64. The final block is
-    further shrunk by the fit check in :func:`_get_runner`
-    (``fused_vmem_estimate``) and by the runtime compile-failure retry, so
-    this is a starting point, not a guarantee. ``MH_FUSED_BLOCK``
-    overrides.
+    Round-4 linearity fits at the headline shape (n=128, 1024 chains,
+    v5e, unroll 4, 2026-08-21): B=64: 0.1025, B=128 (64M vmem):
+    0.0973-0.0979, B=256: 0.112 ms/step — so the default is now B=128
+    for n <= 128 (the round-3 verdict against it, 0.119, was measured at
+    unroll 16 / 32M where the doubled unrolled block crossed the Mosaic
+    scheduling knee; at unroll 4 it compiles in ~44-107 s). ``_get_runner``
+    raises the scoped-VMEM request (bounded by ``PREF_VMEM_CAP``) so the
+    preferred block actually fits the sizing model; the fit check
+    (``fused_vmem_estimate``) and the runtime compile-failure retry still
+    shrink it when the model or the chip disagrees, so this is a starting
+    point, not a guarantee. ``MH_FUSED_BLOCK`` overrides.
     """
     env = os.environ.get("MH_FUSED_BLOCK", "")
     if env:
         return int(env)
     if n <= 128:
-        return 64
+        return 128
     if n <= 256:
         return 32
     return max(8, 4096 // n)
@@ -78,6 +78,11 @@ def block_chains(n: int) -> int:
 # when even the floor block cannot fit. ~100 MB compiles and runs on v5e.
 DEFAULT_VMEM = 17 << 20
 MAX_VMEM = 96 << 20
+# ceiling for the AUTOMATIC scoped-VMEM raise that lets the preferred
+# block_chains() block fit the sizing model (round-4: B=128 at n=128
+# estimates ~20.4 MB > the 17 MB default and measures 5% faster; blocks
+# larger than ~64 MB of scratch bought nothing on v5e)
+PREF_VMEM_CAP = 64 << 20
 _BC_FLOOR = 8
 
 
@@ -550,6 +555,9 @@ def _fused_kernel(
         """
         xm = x * mask_row
         ym = y * mask_row
+        # width-agnostic: the interleaved-streams path (MH_FUSED_STREAMS)
+        # evaluates costs on row-slices of the chain block
+        bw = x.shape[0]
 
         # --- entity gathers, ONE batched one-hot matmul per plane ----------
         # rel source/target, angle source/target, and (unrolled path) the
@@ -570,9 +578,9 @@ def _fused_kernel(
         # Row-slicing [3B, M] at multiples of B keeps sublane alignment.
         xyr = jnp.concatenate([x, y, rot], axis=0)  # [3B, N]
         g_all3 = onehot_gather(xyr, gmat_h)  # [3B, M]
-        gx_all = jax.lax.slice_in_dim(g_all3, 0, B, axis=0)
-        gy_all = jax.lax.slice_in_dim(g_all3, B, 2 * B, axis=0)
-        gr_all = jax.lax.slice_in_dim(g_all3, 2 * B, 3 * B, axis=0)
+        gx_all = jax.lax.slice_in_dim(g_all3, 0, bw, axis=0)
+        gy_all = jax.lax.slice_in_dim(g_all3, bw, 2 * bw, axis=0)
+        gr_all = jax.lax.slice_in_dim(g_all3, 2 * bw, 3 * bw, axis=0)
         atr = gr_all[:, 2 * r_cnt + a_cnt : 2 * r_cnt + 2 * a_cnt]
         sx = gx_all[:, 0:r_cnt]
         sy_ = gy_all[:, 0:r_cnt]
@@ -586,8 +594,8 @@ def _fused_kernel(
 
         # --- pairwise distance (Kernel.cu:210-233) -------------------------
         if 'rel' in _DEBUG_SKIP:
-            pw = jnp.zeros((B, 1), jnp.float32)
-            pwa = jnp.zeros((B, 1), jnp.float32)
+            pw = jnp.zeros((bw, 1), jnp.float32)
+            pwa = jnp.zeros((bw, 1), jnp.float32)
         else:
             lo, hi, rm = lo_h, hi_h, rm_h
             d = jnp.sqrt(jnp.square(sx - tx) + jnp.square(sy_ - ty))
@@ -623,7 +631,7 @@ def _fused_kernel(
 
         # --- visual balance (Kernel.cu:191-207) ----------------------------
         if 'vb' in _DEBUG_SKIP:
-            vb = jnp.zeros((B, 1), jnp.float32)
+            vb = jnp.zeros((bw, 1), jnp.float32)
         else:
             area_row = area.reshape(1, n)
             denom = jnp.sum(area_row * mask_row)
@@ -642,7 +650,7 @@ def _fused_kernel(
         # the focal point) degenerates to atan2(0,0) == 0 like the
         # reference's atan2f, i.e. cos(-rot + pi/2) == sin(rot).
         if 'fp' in _DEBUG_SKIP:
-            fp = jnp.zeros((B, 1), jnp.float32)
+            fp = jnp.zeros((bw, 1), jnp.float32)
         else:
             dxf = fx - x
             dyf = fy - y
@@ -664,7 +672,7 @@ def _fused_kernel(
         # applied in [B, N] layout (avoids any [*, N, 1] mask relayout).
         mask3 = mask.reshape(1, 1, n)  # candidate-j mask
         if 'sym' in _DEBUG_SKIP or not with_sym:
-            sym = jnp.zeros((B, 1), jnp.float32)
+            sym = jnp.zeros((bw, 1), jnp.float32)
         else:
             rx, ry, rrot = reflections(x, y, rot)
             # [b, i, j]: reflection of i vs candidate j
@@ -677,7 +685,7 @@ def _fused_kernel(
             sym = -jnp.sum(best * mask_row, axis=1, keepdims=True)
 
         if 'off' in _DEBUG_SKIP:
-            off = jnp.zeros((B, 1), jnp.float32)
+            off = jnp.zeros((bw, 1), jnp.float32)
         else:
             if with_offlimits:
                 ar = inter_area(
@@ -692,18 +700,18 @@ def _fused_kernel(
                 off_row = jnp.sum(ar * tri * mask3, axis=2)  # [B, N]
                 off = -jnp.sum(off_row * mask_row, axis=1, keepdims=True)
             else:
-                off = jnp.zeros((B, 1), jnp.float32)
+                off = jnp.zeros((bw, 1), jnp.float32)
 
         # --- clearance (Kernel.cu:404-434) ---------------------------------
         if 'clr' in _DEBUG_SKIP:
-            clr_sum = jnp.zeros((B, 1), jnp.float32)
-            sa_clr = jnp.zeros((B, 1), jnp.float32)
+            clr_sum = jnp.zeros((bw, 1), jnp.float32)
+            sa_clr = jnp.zeros((bw, 1), jnp.float32)
         elif clr_unroll:
             # few real clearances: unroll them as [B, N] plane math with
             # params from SMEM — ~4x less VPU work than the 8-sublane-
             # padded [B, C, N] tile when only 1-4 clearances are real
-            clr_sum = jnp.zeros((B, 1), jnp.float32)
-            sa_clr = jnp.zeros((B, 1), jnp.float32)
+            clr_sum = jnp.zeros((bw, 1), jnp.float32)
+            sa_clr = jnp.zeros((bw, 1), jnp.float32)
             for c in range(n_clr_real):
                 cv0 = clr_scal_ref[c * 8 + 0]
                 ctl = clr_scal_ref[c * 8 + 1]
@@ -769,7 +777,7 @@ def _fused_kernel(
 
         # --- surface area for object off-limits rects (Kernel.cu:469-480) --
         if 'sa' in _DEBUG_SKIP:
-            sa = jnp.zeros((B, 1), jnp.float32)
+            sa = jnp.zeros((bw, 1), jnp.float32)
         else:
             obj_out = outside_area(omnx, omny, omxx, omxy)
             sa = sa_clr + (
@@ -874,7 +882,7 @@ def _fused_kernel(
             return jnp.where(iota_s3 == s_i, row[:, None, :], sm)
 
         return jax.lax.fori_loop(
-            0, S, body, jnp.full((B, S, n), _NEG_HUGE, jnp.float32)
+            0, S, body, jnp.full((x.shape[0], S, n), _NEG_HUGE, jnp.float32)
         )
 
     def sym_from_sm(sm):
@@ -908,7 +916,9 @@ def _fused_kernel(
             rowsum = jnp.sum(contrib, axis=2)  # [B, 8]
             return acc - jnp.sum(rowsum[:, :, None], axis=1)  # [B, 1]
 
-        return jax.lax.fori_loop(0, S, chunk, jnp.zeros((B, 1), jnp.float32))
+        return jax.lax.fori_loop(
+            0, S, chunk, jnp.zeros((x.shape[0], 1), jnp.float32)
+        )
 
     # ---- incremental off-limits (FIXED mode): per-slab pair sums ---------
     # so[b, s, i] = sum_{j in slab s, j > i} area(o_i, o_j) * mask_j, so
@@ -944,7 +954,7 @@ def _fused_kernel(
             return jnp.where(iota_s3 == s_i, row[:, None, :], so)
 
         return jax.lax.fori_loop(
-            0, S, body, jnp.zeros((B, S, n), jnp.float32)
+            0, S, body, jnp.zeros((x.shape[0], S, n), jnp.float32)
         )
 
     def off_from_so(so):
@@ -1191,9 +1201,9 @@ def _fused_kernel(
                 )
             return 0
 
-        def one_step(us, active):
+        def one_step(us, active, s0=0, w=None):
             """One MH iteration driven by a pre-drawn lane block ``us``
-            ([B, 8] for accept_draws == 1, [B, 8+K] otherwise). The caller
+            ([w, 8] for accept_draws == 1, [w, 8+K] otherwise). The caller
             amortizes one on-chip [B, LANE] PRNG draw over LANE//lanes
             steps via static lane slices — the per-iteration random-bit
             volume was ~14% of the headline step time when drawn per step
@@ -1202,8 +1212,18 @@ def _fused_kernel(
             ``active`` (traced scalar bool) gates acceptance: the dynamic
             iteration count rounds up to whole draw blocks, and the tail
             steps past the requested count must not commit state (they
-            still burn a few step-evals, <=unroll-1 of them total)."""
-            ps = p_s[:, :, :]  # [6, B, N] — all pose planes, one load
+            still burn a few step-evals, <=unroll-1 of them total).
+
+            ``s0``/``w`` select a chain-row slice [s0, s0+w) of the block
+            (MH_FUSED_STREAMS interleaving): every op below is elementwise
+            along the chain axis (reductions run over lanes/objects only),
+            so a sliced step is bitwise-identical to the full-width one —
+            but steps of DISJOINT slices are data-independent, which hands
+            the Mosaic scheduler cross-stream ILP the serialized
+            step-dependency chain otherwise hides."""
+            if w is None:
+                w = B
+            ps = p_s[:, s0 : s0 + w, :]  # [6, w, N] pose planes, one load
             x = ps[0]
             y = ps[1]
             rot = ps[4]
@@ -1217,7 +1237,7 @@ def _fused_kernel(
                 u_acc = jnp.min(
                     us[:, 8 : 8 + accept_draws], axis=1, keepdims=True
                 )
-            scale_b = jnp.exp(cur_s[:, 2:3]) if adapt else scale
+            scale_b = jnp.exp(cur_s[s0 : s0 + w, 2:3]) if adapt else scale
             r1 = jnp.sqrt(-2.0 * jnp.log(us[:, 2:3]))
             r2 = jnp.sqrt(-2.0 * jnp.log(us[:, 4:5]))
             two_pi = 2.0 * math.pi
@@ -1262,7 +1282,7 @@ def _fused_kernel(
             dsel = sel1 - sel2
             r1v = jnp.sum(sel1[None, :, :] * ps, axis=2, keepdims=True)
             r2v = jnp.sum(sel2[None, :, :] * ps, axis=2, keepdims=True)
-            zero_d = jnp.zeros((1, B, n), jnp.float32)
+            zero_d = jnp.zeros((1, w, n), jnp.float32)
             tdelta = jnp.concatenate(
                 [tdx[None], tdy[None], zero_d, zero_d, tdr[None], zero_d],
                 axis=0,
@@ -1275,7 +1295,7 @@ def _fused_kernel(
             y_star = star[1]
             rot_star = star[4]
 
-            gate1 = jnp.full((B, 1), 1.0, jnp.float32) * gate
+            gate1 = jnp.full((w, 1), 1.0, jnp.float32) * gate
             if incremental:
                 # shared symmetry prelude for both commit variants: one
                 # [B,16,N] dual-slab row eval, and BOTH moved lanes' value
@@ -1332,7 +1352,7 @@ def _fused_kernel(
                 # rows: moved candidates' slabs recomputed for all lanes.
                 # Write row2 after row1 (same-slab cells agree bitwise:
                 # both rows are the same slab's max at the star pose).
-                sm_star = jnp.where(stale1, row1[:, None, :], sm_s[:, :, :])
+                sm_star = jnp.where(stale1, row1[:, None, :], sm_s[s0 : s0 + w, :, :])
                 sm_star = jnp.where(stale2, row2[:, None, :], sm_star)
                 # columns: both moved lanes' per-slab maxima in one
                 # [B,2S,N] masked reduction (axis 2)
@@ -1368,7 +1388,7 @@ def _fused_kernel(
                 # so this is bitwise-equal to the materialized path). State is
                 # committed after (and gated by) acceptance instead.
                 base = jnp.max(
-                    jnp.where(stale1 | stale2, _NEG_HUGE, sm_s[:, :, :]),
+                    jnp.where(stale1 | stale2, _NEG_HUGE, sm_s[s0 : s0 + w, :, :]),
                     axis=1,
                 )  # [B,N]
                 best = jnp.maximum(
@@ -1391,14 +1411,14 @@ def _fused_kernel(
             if not parity:
                 if incremental:
                     so_star = so_update(
-                        so_s[:, :, :], sel1, x_star, y_star, gate1
+                        so_s[s0 : s0 + w, :, :], sel1, x_star, y_star, gate1
                     )
                     so_star = so_update(so_star, sel2, x_star, y_star, sw)
                     off_star = off_from_so(so_star)
                 else:
                     off_star = off_from_so(off_state_init(x_star, y_star))
                 total_star = total_star + w_ol * off_star
-            cur = cur_s[:, 0:1]
+            cur = cur_s[s0 : s0 + w, 0:1]
             ratio = jnp.exp(jnp.minimum(beta * (total_star - cur), 0.0))
             acc_b = (u_acc < ratio) & (gate > 0) & active  # [B,1] bool
             acc = acc_b.astype(jnp.float32)
@@ -1408,14 +1428,14 @@ def _fused_kernel(
             # off by an ulp, which would desync the carried slab maxima).
             # ONE stacked [6,B,N] select commits every plane — the aux
             # (z/rotX/rotZ) swap deltas are already inside `star`.
-            p_s[:, :, :] = jnp.where(acc_b[None, :, :], star, ps)
+            p_s[:, s0 : s0 + w, :] = jnp.where(acc_b[None, :, :], star, ps)
             if incremental and not defer_commit:
-                sm_s[:, :, :] = jnp.where(
-                    acc_b[:, :, None], sm_star, sm_s[:, :, :]
+                sm_s[s0 : s0 + w, :, :] = jnp.where(
+                    acc_b[:, :, None], sm_star, sm_s[s0 : s0 + w, :, :]
                 )
                 if not parity:
-                    so_s[:, :, :] = jnp.where(
-                        acc_b[:, :, None], so_star, so_s[:, :, :]
+                    so_s[s0 : s0 + w, :, :] = jnp.where(
+                        acc_b[:, :, None], so_star, so_s[s0 : s0 + w, :, :]
                     )
             elif incremental:
                 # acceptance-gated slab-state commit (rows then columns —
@@ -1425,7 +1445,7 @@ def _fused_kernel(
                 w1 = stale1 & a3  # [B,S,1]
                 w2 = stale2 & a3
                 rowpick = jnp.where(w2, row2[:, None, :], row1[:, None, :])
-                sm = jnp.where(w1 | w2, rowpick, sm_s[:, :, :])
+                sm = jnp.where(w1 | w2, rowpick, sm_s[s0 : s0 + w, :, :])
                 newcol1 = jnp.max(
                     jnp.where(slab_mask3, v1_3, _NEG_HUGE), axis=2
                 )  # [B,S]
@@ -1437,17 +1457,17 @@ def _fused_kernel(
                 colpick = jnp.where(
                     c2, newcol2[:, :, None], newcol1[:, :, None]
                 )
-                sm_s[:, :, :] = jnp.where(c1 | c2, colpick, sm)
+                sm_s[s0 : s0 + w, :, :] = jnp.where(c1 | c2, colpick, sm)
                 if not parity:
-                    so_s[:, :, :] = jnp.where(
-                        acc_b[:, :, None], so_star, so_s[:, :, :]
+                    so_s[s0 : s0 + w, :, :] = jnp.where(
+                        acc_b[:, :, None], so_star, so_s[s0 : s0 + w, :, :]
                     )
-            cur_s[:, 0:1] = jnp.where(acc_b, total_star, cur)
-            cur_s[:, 1:2] = cur_s[:, 1:2] + acc
+            cur_s[s0 : s0 + w, 0:1] = jnp.where(acc_b, total_star, cur)
+            cur_s[s0 : s0 + w, 1:2] = cur_s[s0 : s0 + w, 1:2] + acc
             if adapt:
                 # phantom tail steps (active=False) must not move the
                 # Robbins-Monro state either
-                cur_s[:, 2:3] = cur_s[:, 2:3] + jnp.where(
+                cur_s[s0 : s0 + w, 2:3] = cur_s[s0 : s0 + w, 2:3] + jnp.where(
                     active, adapt_rate * (acc - target_acc), 0.0
                 )
 
@@ -1473,14 +1493,37 @@ def _fused_kernel(
             if env_unroll:
                 unroll = max(1, min(int(env_unroll), LANE // lanes))
 
+            # MH_FUSED_STREAMS=G splits the block into G independent
+            # row-slices whose serialized step chains interleave in one
+            # basic block: stream g's step j+1 depends only on ITS step j,
+            # so the scheduler can overlap the G dependency chains (the
+            # step is latency-bound along its op chain — the ablation
+            # shares are additive; docs/PERFORMANCE.md round-4). Bitwise
+            # identical to G=1: the RNG block is drawn full-width and each
+            # chain row sees the same values either way.
+            streams = 1
+            env_streams = os.environ.get("MH_FUSED_STREAMS", "")
+            if env_streams:
+                streams = max(1, int(env_streams))
+            while streams > 1 and (B % streams or (B // streams) % 8):
+                streams //= 2
+            sw_ = B // streams
+
             def iter_block(t, _):
                 us_blk = draw_block()
                 base = t * unroll
                 for j in range(unroll):
-                    one_step(
-                        us_blk[:, j * lanes : j * lanes + lanes],
-                        base + j < it_count,
-                    )
+                    act = base + j < it_count
+                    for g in range(streams):
+                        one_step(
+                            us_blk[
+                                g * sw_ : (g + 1) * sw_,
+                                j * lanes : j * lanes + lanes,
+                            ],
+                            act,
+                            s0=g * sw_,
+                            w=sw_,
+                        )
                 return 0
 
             n_blocks = (it_count + unroll - 1) // unroll
@@ -1800,6 +1843,12 @@ def _fit_key(n: int, cfg: SamplerConfig, incremental: bool,
         f":{os.environ.get('MH_FUSED_GATHER', 'mxu')}"
         f":{os.environ.get('MH_FUSED_RNG', 'counter')}"
         f":{os.environ.get('MH_FUSED_CLR', 'unroll')}"
+        f":{os.environ.get('MH_FUSED_STREAMS', '')}"
+        # the preferred default block is part of the key: a proven fit
+        # recorded under an older block policy must not override a new
+        # default (the round-4 64 -> 128 change would otherwise be
+        # silently undone by a stale sidecar entry)
+        f":pref{block_chains(n)}"
     )
 
 
@@ -1858,6 +1907,12 @@ def _get_runner(
             bc, vmem = int(proven[0]), int(proven[1])
         else:
             bc = min(block_chains(n), n_chains)
+            if vmem_override is None and "MH_FUSED_VMEM" not in os.environ:
+                # raise the scoped-VMEM request so the preferred block
+                # fits the sizing model (bounded; round-4 B=128 default)
+                need = int(fused_vmem_estimate(bc, n, incremental) / 0.85)
+                if vmem < need <= PREF_VMEM_CAP:
+                    vmem = need
             bc, vmem = _fit_block_and_vmem(bc, n, vmem, incremental)
     while bc > _BC_FLOOR and n_chains % bc:
         bc //= 2
@@ -1894,6 +1949,7 @@ def _get_runner(
         packed.clr_src_oh.shape, packed.clr_params.shape,
         vmem,
         os.environ.get("MH_FUSED_UNROLL", ""),
+        os.environ.get("MH_FUSED_STREAMS", ""),
     )
     runner = _RUNNER_CACHE.get(cache_key)
     if runner is None:
