@@ -69,7 +69,9 @@ def block_chains(n: int) -> int:
     if n <= 128:
         return 128
     if n <= 256:
-        return 32
+        # round-4 sweep at n=256 / 1024 chains (96M vmem, fresh compiles):
+        # B=16 (old fit): 0.209, B=32: 0.171, B=64: 0.162, B=128: 0.168
+        return 64
     return max(8, 4096 // n)
 
 
