@@ -1025,7 +1025,15 @@ def _fused_kernel(
 
         def draw_block():
             if 'rng' in _DEBUG_SKIP:
-                return jnp.full((B, LANE), 0.5, jnp.float32)
+                # anchor the pseudo-draws to a runtime scalar (value still
+                # 0.5): fully constant draws fold the one-hot selection
+                # indices into a [B,1,1] -> [B,S,N] i32 vector.broadcast
+                # with a replicated {*,*} out-layout that crashes Mosaic's
+                # layout pass ("Please report a bug", probed 2026-08-21) —
+                # this was the round-3 "HTTP-500" remote-compile failure
+                return jnp.full((B, LANE), 0.5, jnp.float32) + (
+                    seed_ref[0] * 0
+                ).astype(jnp.float32)
             if rng_hw:
                 return _uniform((B, LANE))
             c = cnt_s[0]
@@ -1431,19 +1439,25 @@ def _fused_kernel(
             # ONE stacked [6,B,N] select commits every plane — the aux
             # (z/rotX/rotZ) swap deltas are already inside `star`.
             p_s[:, s0 : s0 + w, :] = jnp.where(acc_b[None, :, :], star, ps)
+            # two-stage accept-mask broadcast ([w,1,1] -> [w,S,1] on
+            # sublanes, lanes broadcast inside the where): the direct
+            # [w,1,1] -> [w,S,N] form can reach Mosaic as a single
+            # both-dims vector.broadcast, which is "Not implemented"
+            # (crashed every MH_FUSED_SKIP=rng compile; probed 2026-08-21)
+            accS = acc_b[:, :, None] & (iota_s3 >= 0)  # [w,S,1]
             if incremental and not defer_commit:
                 sm_s[s0 : s0 + w, :, :] = jnp.where(
-                    acc_b[:, :, None], sm_star, sm_s[s0 : s0 + w, :, :]
+                    accS, sm_star, sm_s[s0 : s0 + w, :, :]
                 )
                 if not parity:
                     so_s[s0 : s0 + w, :, :] = jnp.where(
-                        acc_b[:, :, None], so_star, so_s[s0 : s0 + w, :, :]
+                        accS, so_star, so_s[s0 : s0 + w, :, :]
                     )
             elif incremental:
                 # acceptance-gated slab-state commit (rows then columns —
                 # write order makes the overlap cells bitwise-equal to the
                 # round-1 materialized sm_star; see docstring above)
-                a3 = acc_b[:, :, None]  # [B,1,1]
+                a3 = accS  # [w,S,1] two-stage accept mask (see above)
                 w1 = stale1 & a3  # [B,S,1]
                 w2 = stale2 & a3
                 rowpick = jnp.where(w2, row2[:, None, :], row1[:, None, :])
@@ -1462,7 +1476,7 @@ def _fused_kernel(
                 sm_s[s0 : s0 + w, :, :] = jnp.where(c1 | c2, colpick, sm)
                 if not parity:
                     so_s[s0 : s0 + w, :, :] = jnp.where(
-                        acc_b[:, :, None], so_star, so_s[s0 : s0 + w, :, :]
+                        accS, so_star, so_s[s0 : s0 + w, :, :]
                     )
             cur_s[s0 : s0 + w, 0:1] = jnp.where(acc_b, total_star, cur)
             cur_s[s0 : s0 + w, 1:2] = cur_s[s0 : s0 + w, 1:2] + acc
