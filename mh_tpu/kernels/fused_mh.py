@@ -1807,7 +1807,17 @@ def _call_fused_protected(
                 stacklevel=2,
             )
             continue
-        if not interpret and bc_override is None:
+        if (
+            not interpret
+            and bc_override is None
+            # env-override runs (block/vmem sweeps) must not record fits:
+            # the sidecar key is read by DEFAULT-config calls, and a fit
+            # proven under e.g. MH_FUSED_VMEM=96M would silently pin the
+            # production scoped-VMEM request (the ADVICE r3 poisoning
+            # class; MH_FUSED_BLOCK also shifts the pref key itself)
+            and "MH_FUSED_BLOCK" not in os.environ
+            and "MH_FUSED_VMEM" not in os.environ
+        ):
             _record_fit(packed.n, cfg, incremental, n_chains, bc, vmem)
         return out
 
