@@ -45,7 +45,9 @@ def test_streams_bitwise_invariant(_clean_streams_env):
         )
 
     base = run()
-    for g in (2, 4):
+    # 3 does not divide the 32-chain block: the knob must fall back to a
+    # valid stream count (halving), not crash or change results
+    for g in (2, 4, 3):
         os.environ["MH_FUSED_STREAMS"] = str(g)
         got = run()
         for a, b in zip(
