@@ -72,7 +72,12 @@ def block_chains(n: int) -> int:
         # round-4 sweep at n=256 / 1024 chains (96M vmem, fresh compiles):
         # B=16 (old fit): 0.209, B=32: 0.171, B=64: 0.162, B=128: 0.168
         return 64
-    return max(8, 4096 // n)
+    # larger scenes: scale the block down with n, SUBLANE-ALIGNED — a
+    # non-multiple-of-8 block (e.g. 4096//384 = 10) both misaligns the
+    # [B, N] tiles and strands the divisibility clamp in _get_runner on
+    # widths that cannot divide power-of-two chain counts (a 384-object
+    # fused run raised "n_chains must be a multiple of 5" before this)
+    return max(8, (4096 // n) & ~7)
 
 
 # Default scoped-VMEM limit handed to Mosaic. 17 MB = XLA's 16 MB default

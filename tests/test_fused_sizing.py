@@ -53,6 +53,15 @@ def test_round4_defaults(_no_env_overrides):
     assert block_chains(256) == 64
 
 
+def test_block_always_sublane_aligned(_no_env_overrides):
+    # 4096//384 == 10: an unaligned block both misaligns [B, N] tiles and
+    # strands the divisibility clamp on widths like 5 that cannot divide
+    # power-of-two chain counts (raised ValueError before the fix)
+    for n in (128, 256, 320, 384, 512, 640, 1024, 2048):
+        bc = block_chains(n)
+        assert bc % 8 == 0 and bc >= 8, (n, bc)
+
+
 def test_fit_key_carries_preferred_block(_no_env_overrides):
     cfg = SamplerConfig()
     key = _fit_key(128, cfg, True, 1024)
