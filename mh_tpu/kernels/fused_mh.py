@@ -93,7 +93,9 @@ PREF_VMEM_CAP = 64 << 20
 _BC_FLOOR = 8
 
 
-def fused_vmem_estimate(bc: int, n: int, incremental: bool = True) -> int:
+def fused_vmem_estimate(
+    bc: int, n: int, incremental: bool = True, fixed: bool = False
+) -> int:
     """Estimated scoped-VMEM bytes for one grid step of the fused kernel.
 
     Explicit scratch (pose/aux/cur planes + the two [B, N/8, N] slab
@@ -109,18 +111,31 @@ def fused_vmem_estimate(bc: int, n: int, incremental: bool = True) -> int:
     """
     scratch_words = bc * (6 * n + LANE + (n * n) // 4)
     q = 14 if incremental else 48
+    if fixed:
+        # FIXED mode carries the off-limits pair-sum state updates
+        # (so_star + its slab-row temps) live through the accept decision:
+        # measured at B=128, n=128 the PARITY-sized request (24M) OOMs
+        # while 32M compiles and runs — model the extra as +8 n^2/8 tiles
+        # (lands the auto-raise at ~34M: the working point plus margin)
+        q += 8
     temp_words = bc * (q * (n * n) // 8 + 48 * n)
     return 4 * (scratch_words + temp_words)
 
 
 def _fit_block_and_vmem(
-    bc: int, n: int, vmem: int, incremental: bool = True
+    bc: int, n: int, vmem: int, incremental: bool = True, fixed: bool = False
 ) -> tuple[int, int]:
     """Shrink ``bc`` (then raise ``vmem``) until the estimate fits."""
-    while bc > _BC_FLOOR and fused_vmem_estimate(bc, n, incremental) > 0.92 * vmem:
+    while (
+        bc > _BC_FLOOR
+        and fused_vmem_estimate(bc, n, incremental, fixed) > 0.92 * vmem
+    ):
         bc //= 2
-    if fused_vmem_estimate(bc, n, incremental) > 0.92 * vmem:
-        vmem = min(int(fused_vmem_estimate(bc, n, incremental) / 0.85), MAX_VMEM)
+    if fused_vmem_estimate(bc, n, incremental, fixed) > 0.92 * vmem:
+        vmem = min(
+            int(fused_vmem_estimate(bc, n, incremental, fixed) / 0.85),
+            MAX_VMEM,
+        )
     return bc, vmem
 
 _NEG_HUGE = -1e30
@@ -1923,6 +1938,7 @@ def _get_runner(
 ):
     """Fetch/compile the per-shape jitted fused runner (see _RUNNER_CACHE)."""
     incremental = _resolve_incremental(incremental)
+    is_fixed = cfg.mode is not CostMode.PARITY
     packed = pack_scene(scene, cfg)
     n = packed.n
     n0 = scene.n_pad_objs
@@ -1941,10 +1957,12 @@ def _get_runner(
             if vmem_override is None and "MH_FUSED_VMEM" not in os.environ:
                 # raise the scoped-VMEM request so the preferred block
                 # fits the sizing model (bounded; round-4 B=128 default)
-                need = int(fused_vmem_estimate(bc, n, incremental) / 0.85)
+                need = int(
+                    fused_vmem_estimate(bc, n, incremental, is_fixed) / 0.85
+                )
                 if vmem < need <= PREF_VMEM_CAP:
                     vmem = need
-            bc, vmem = _fit_block_and_vmem(bc, n, vmem, incremental)
+            bc, vmem = _fit_block_and_vmem(bc, n, vmem, incremental, is_fixed)
     while bc > _BC_FLOOR and n_chains % bc:
         bc //= 2
     bc = min(bc, n_chains)
