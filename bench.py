@@ -33,9 +33,10 @@ live re-measurement still runs (CPU subprocess) and is printed to stderr
 as a sanity check against calibration rot.
 
 Usage:
-  python bench.py                # headline + secondary metrics, one JSON
-                                 # line to stdout
-  python bench.py --all          # additionally run all 5 BASELINE configs
+  python bench.py                # headline + secondaries + BASELINE
+                                 # configs 1-5, one JSON line to stdout
+  python bench.py --all          # additionally run the XLA pi estimator
+                                 # and the K=64 block-proposal config
   python bench.py --engine NAME  # child mode: one measurement (internal)
 
 Testing the retry machinery: MH_BENCH_POISON=N makes the parent poison the
@@ -62,6 +63,21 @@ import time
 # `python bench.py --engine oracle` on an idle machine and updating this
 # constant; the live stderr value drifting >2x from it signals rot.
 ORACLE_BASELINE_PROPOSALS_PER_S = 23.0
+
+# ---------------------------------------------------------------------------
+# Speed-of-light accounting for the headline shape (100 objs -> 128 padded
+# lanes, 1024 chains, PARITY). Useful-flop counts per chain-step from the
+# roofline table in docs/PERFORMANCE.md ("MFU / roofline accounting"):
+# the XLA engine recomputes the full objective (~219K flops), the fused
+# kernel carries incremental O(N) symmetry state (~46K flops). v5e VPU
+# peak ~3.85 Tf32op/s/chip. The scoreboard reports
+#   useful_flops_fraction = flops/chain-step * chains / (per_step_s * peak)
+# for the winning engine, plus the gap to the best-known ALGORITHM's
+# speed of light (incremental flops at peak) so the BASELINE "fused kernel
+# at speed-of-light per chip" gate is a tracked number, not prose.
+VPU_PEAK_F32 = 3.85e12
+USEFUL_FLOPS_PER_CHAIN_STEP = {"xla": 219e3, "fused": 46e3}
+ALGO_SOL_FLOPS = 46e3  # best-known algorithm (incremental symmetry)
 
 _PROTO = "@MHBENCH "
 
@@ -560,10 +576,10 @@ def main() -> None:
               file=sys.stderr)
 
     if args.all:
-        for eng in ("pi", "pi_fused", "layout_small", "layout_block",
-                    "collective", "tempering_smc"):
-            if on_cpu and eng == "pi_fused":
-                continue
+        # configs 2/4/5 (layout_small, collective, tempering_smc) and the
+        # fused pi kernel run on the DEFAULT path below (round-5); --all
+        # only adds the XLA pi estimator and the K=64 block-proposal run
+        for eng in ("pi", "layout_block"):
             orch.run_engine(eng)
 
     head = orch.run_engine("xla_headline")
@@ -593,6 +609,30 @@ def main() -> None:
     elif head:
         head = dict(head, engine="xla")
 
+    # BASELINE measurement configs 2, 4 and 5 — on the default scoreboard
+    # path (round-5; BENCH_r01-r04 carried configs 1+3 only because these
+    # ran under --all alone). Bounded timeouts, 2 attempts each; failures
+    # cost their keys, never the headline.
+    small = orch.run_engine("layout_small", timeout_s=900, attempts=2)
+    if small:
+        extras["single_chain_10obj_proposals_per_s"] = round(
+            small["proposals_per_s"], 1
+        )
+    coll = orch.run_engine("collective", timeout_s=1200, attempts=2)
+    if coll:
+        extras["collective_1024_proposals_per_s"] = round(
+            coll["proposals_per_s"], 1
+        )
+        extras["collective_final_accept_rate"] = round(
+            coll["final_accept_rate"], 4
+        )
+    tsmc = orch.run_engine("tempering_smc", timeout_s=1200, attempts=2)
+    if tsmc:
+        extras["tempering_smc_sweeps_per_s"] = round(
+            tsmc["tempering_sweeps_per_s"], 1
+        )
+        extras["tempering_mean_swap_rate"] = round(tsmc["mean_swap_rate"], 4)
+
     if head is None:
         raise SystemExit("no engine produced a headline measurement")
 
@@ -606,6 +646,21 @@ def main() -> None:
             f"(pinned {base}, drift x{drift:.2f})", file=sys.stderr,
         )
 
+    # speed-of-light accounting (headline shape only — the flop constants
+    # are per-chain-step at 128 padded lanes; see module docstring consts)
+    sol: dict = {}
+    if args.objects == 100 and head.get("per_step_ms"):
+        eng = head.get("engine", "xla")
+        per_step_s = head["per_step_ms"] / 1e3
+        flops = USEFUL_FLOPS_PER_CHAIN_STEP.get(eng)
+        if flops:
+            sol["useful_flops_fraction"] = round(
+                flops * args.chains / (per_step_s * VPU_PEAK_F32), 4
+            )
+        algo_sol_ms = ALGO_SOL_FLOPS * args.chains / VPU_PEAK_F32 * 1e3
+        sol["algo_sol_per_step_ms"] = round(algo_sol_ms, 4)
+        sol["vs_algo_sol"] = round(head["per_step_ms"] / algo_sol_ms, 2)
+
     result = {
         "metric": f"mh_proposals_per_s_per_chip_{args.objects}obj_{args.chains}chains",
         "value": round(head["proposals_per_s"], 1),
@@ -614,6 +669,7 @@ def main() -> None:
         "engine": head.get("engine", "xla"),
         "per_step_ms": round(head.get("per_step_ms", 0.0), 4),
         "accepted_per_s": round(head.get("accepted_per_s", 0.0), 1),
+        **sol,
         **extras,
         "attempts": orch.attempt_log,
     }

@@ -78,27 +78,38 @@ def main():
     print(json.dumps({"engine": "xla", "per_step_ms": round(per * 1e3, 4),
                       "proposals_per_s": round(n_chains / per, 1)}), flush=True)
 
-    for g in streams:
-        if g > 1:
-            os.environ["MH_FUSED_STREAMS"] = str(g)
-        else:
+    # restore the caller's MH_FUSED_STREAMS afterwards: main() may be
+    # driven programmatically from another harness, and leaking the last
+    # sweep setting would multiply fused-runner compiles there (the
+    # runner cache key includes the env knob)
+    prev_streams = os.environ.get("MH_FUSED_STREAMS")
+    try:
+        for g in streams:
+            if g > 1:
+                os.environ["MH_FUSED_STREAMS"] = str(g)
+            else:
+                os.environ.pop("MH_FUSED_STREAMS", None)
+
+            def run_fused(iters):
+                pose, _, _, _ = run_chains_fused(
+                    0, pose0, scene, cfg, n_chains, iters
+                )
+                np.asarray(pose)
+
+            t0 = time.perf_counter()
+            run_fused(1)
+            compile_s = time.perf_counter() - t0
+            per = per_step_linfit(run_fused)
+            print(json.dumps({"engine": "fused", "streams": g,
+                              "compile_s": round(compile_s, 1),
+                              "per_step_ms": round(per * 1e3, 4),
+                              "proposals_per_s": round(n_chains / per, 1)}),
+                  flush=True)
+    finally:
+        if prev_streams is None:
             os.environ.pop("MH_FUSED_STREAMS", None)
-
-        def run_fused(iters):
-            pose, _, _, _ = run_chains_fused(
-                0, pose0, scene, cfg, n_chains, iters
-            )
-            np.asarray(pose)
-
-        t0 = time.perf_counter()
-        run_fused(1)
-        compile_s = time.perf_counter() - t0
-        per = per_step_linfit(run_fused)
-        print(json.dumps({"engine": "fused", "streams": g,
-                          "compile_s": round(compile_s, 1),
-                          "per_step_ms": round(per * 1e3, 4),
-                          "proposals_per_s": round(n_chains / per, 1)}),
-              flush=True)
+        else:
+            os.environ["MH_FUSED_STREAMS"] = prev_streams
 
 
 if __name__ == "__main__":

@@ -54,15 +54,19 @@ def _launch_once():
 
 @pytest.mark.slow
 def test_pod_launch_two_process_local_emulation():
-    # one retry: the 2-process gRPC control plane (coordinator barrier,
-    # port bind) can time out when the shared host is under heavy
-    # concurrent load (observed once while a TPU benchmark hammered the
-    # same container, 2026-08-21); a genuine breakage fails both runs
+    # up to 3 attempts (15/30 s backoff): the 2-process gRPC control
+    # plane (coordinator barrier, port bind) can time out when the shared
+    # host is under heavy concurrent load (observed while a TPU benchmark
+    # hammered the same container, 2026-08-21); a genuine breakage fails
+    # every attempt. Which attempt succeeded is printed so flakiness
+    # stays visible in the test output (-s / failure capture).
     import time
 
     for attempt in range(3):
         procs, outs = _launch_once()
         if all(p.returncode == 0 for p in procs):
+            if attempt:
+                print(f"pod_launch control plane needed {attempt + 1} attempts")
             break
         time.sleep(15 * (attempt + 1))
     for p, (out, err) in zip(procs, outs):
