@@ -341,7 +341,7 @@ def _i32c(v: int) -> jnp.int32:
     return jnp.int32(np.int64(np.uint32(v).astype(np.int32)))
 
 
-def _uniform_sw(base, shape, row_offset=0):
+def _uniform_sw(base, shape, row_offset=0, transposed=False):
     """Counter-based uniforms (triple32-style integer mixing).
 
     Pure jnp/lax ops, so it runs under the Pallas CPU interpreter — which
@@ -354,13 +354,25 @@ def _uniform_sw(base, shape, row_offset=0):
     hardware stream (``MH_FUSED_RNG=hw``), whose [B, LANE] tile layout
     bakes ``bc`` into each chain's stream (round-3 advisor finding).
     ``base`` is a traced i32 unique per draw (seed/counter mix).
+
+    ``transposed``: shape is [draw_lanes, chains] (chains on the LANE
+    axis — the thin-engine layout); the counter mapping keeps chain on
+    axis 1 and draw-lane on axis 0, so draw (chain, lane) produces the
+    SAME bits in either orientation and thin/non-thin trajectories match.
     """
     shr = jax.lax.shift_right_logical
-    flat = (
-        (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row_offset)
-        * shape[-1]
-        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    )
+    if transposed:
+        flat = (
+            (jax.lax.broadcasted_iota(jnp.int32, shape, 1) + row_offset)
+            * shape[0]
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        )
+    else:
+        flat = (
+            (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row_offset)
+            * shape[-1]
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        )
     x = flat ^ base
 
     def mix(x):
@@ -400,8 +412,7 @@ def _fused_kernel(
     clr_anchors: tuple = (),
     accept_draws: int = 1,
     rng_hw: bool = False,
-    defer_commit: bool = False,
-    gather_vpu: bool = True,
+    thin: bool = False,
 ):
     B = pose_ref.shape[1]
     pi = mode.pi
@@ -416,21 +427,62 @@ def _fused_kernel(
         pltpu.prng_seed(seed_ref[0] + seed_ref[2] // B + pl.program_id(0))
 
     def onehot_gather(plane, oh):
-        """Entity gather [B,N] x one-hot [M,N] -> [B,M].
+        """Entity gather [B,N] x one-hot [M,N] -> [B,M] via an MXU dot.
 
-        Both paths are exact and bitwise-equal: each output has exactly
-        one nonzero term, so the VPU masked [B,M,N] sublane reduction
-        (``MH_FUSED_GATHER=vpu``) returns the selected f32 verbatim, as
-        does the MXU dot at HIGHEST precision (the default DEFAULT-
-        precision MXU path would round operands through bf16 — measured
-        0.7% clearance error; never use it here)."""
-        if gather_vpu:
-            return jnp.sum(oh[None, :, :] * plane[:, None, :], axis=2)
+        HIGHEST precision is load-bearing: each output has exactly one
+        nonzero 1.0*v term, so the 3-pass f32 path returns the selected
+        value verbatim, while the DEFAULT-precision MXU path rounds
+        operands through bf16 — measured 0.7% clearance error. (A
+        bitwise-equal VPU masked [B,M,N] reduction existed as
+        MH_FUSED_GATHER=vpu; it measured 5x slower and its tiles blew the
+        Mosaic compile past 40 min — deleted round 5, post-mortem in
+        docs/PERFORMANCE.md round-3/4 notes.)"""
         return jax.lax.dot_general(
             plane, oh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+
+    # ---- thin-engine transpose helpers (MH_FUSED_THIN) -------------------
+    # The step's per-chain scalar chains (proposal params, rel+angle
+    # penalties, clearance anchors/outside-areas) are ~100 ops on
+    # [B,1]/[B,8] tiles, each of which costs the SAME vreg volume as a
+    # full [B,128] op (a [128,1] f32 tile is 16 vregs with one live
+    # lane). The thin engine computes those chains with chains on the
+    # LANE axis instead ([1,B]/[8,B] tiles — 1 vreg per op) and moves the
+    # handful of per-chain results back to [B,1] layout with an identity
+    # MXU dot. The dots are exact at HIGHEST precision (each output is a
+    # single 1.0*v product — same argument as onehot_gather), so thin and
+    # wide layouts produce bitwise-identical values.
+    if thin:
+        ident_b = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+        ).astype(jnp.float32)
+
+        def t_cols(rows):
+            """[K, B] rows (chains on lanes) -> [B, K] columns, exact."""
+            return jax.lax.dot_general(
+                ident_b, rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        def t_row(col):
+            """[B, 1] column -> [1, B] row (chains on lanes), exact."""
+            return jax.lax.dot_general(
+                col, ident_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        def gather_t(oh, planes):
+            """One-hot [M, N] x stacked planes [P, N] -> [M, P], exact."""
+            return jax.lax.dot_general(
+                oh, planes, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
     mask = planes_ref[P_MASK, :]  # f32[N]
     okv = planes_ref[P_OK, :]  # 1.0 for movable (unfrozen, real) objects
@@ -520,19 +572,33 @@ def _fused_kernel(
     a_t_h = ang_t_ref[:, :]
     r_cnt = rel_s_h.shape[0]
     a_cnt = a_s_h.shape[0]
-    _gparts = [rel_s_h, rel_t_h, a_s_h, a_t_h]
-    if clr_unroll and n_clr_real:
-        clr_src_h = clr_s_ref[0:n_clr_real, :]  # [C, N]
-        _gparts.append(clr_src_h)
+    if thin:
+        # thin-engine gather matrix: every section padded to its full
+        # sublane-aligned entity count (R/A are ent_pad multiples of 8,
+        # clearances ride the padded [Cp, N] one-hot + a padded parity
+        # anchor block), so the [M, 3B] transposed gather output can be
+        # row-sliced at aligned offsets. Padding rows gather garbage that
+        # the per-entity masks zero out downstream.
+        _gparts = [rel_s_h, rel_t_h, a_s_h, a_t_h, clr_s_ref[:, :]]
         if parity:
-            anc_rows_h = jnp.concatenate(
-                [
-                    (iota_n == float(clr_anchors[c])).astype(jnp.float32)
-                    for c in range(n_clr_real)
-                ],
-                axis=0,
-            )  # [C, N]
-            _gparts.append(anc_rows_h)
+            anc_full_h = (
+                iota_n == clr_p_ref[:, 7].reshape(c_cnt_s, 1)
+            ).astype(jnp.float32)  # [Cp, N]
+            _gparts.append(anc_full_h)
+    else:
+        _gparts = [rel_s_h, rel_t_h, a_s_h, a_t_h]
+        if clr_unroll and n_clr_real:
+            clr_src_h = clr_s_ref[0:n_clr_real, :]  # [C, N]
+            _gparts.append(clr_src_h)
+            if parity:
+                anc_rows_h = jnp.concatenate(
+                    [
+                        (iota_n == float(clr_anchors[c])).astype(jnp.float32)
+                        for c in range(n_clr_real)
+                    ],
+                    axis=0,
+                )  # [C, N]
+                _gparts.append(anc_rows_h)
     gmat_h = jnp.concatenate(_gparts, axis=0)  # [M, N]
     lo_h = rel_p_ref[:, 0].reshape(1, r_cnt)
     hi_h = rel_p_ref[:, 1].reshape(1, r_cnt)
@@ -547,6 +613,21 @@ def _fused_kernel(
     cMx_h = clr_p_ref[:, 4].reshape(1, c_cnt_s)
     cMy_h = clr_p_ref[:, 5].reshape(1, c_cnt_s)
     cm_h = clr_p_ref[:, 6].reshape(1, c_cnt_s)
+    # thin-engine column-oriented entity params ([E, 1] — broadcast over
+    # the chain LANE axis of [E, B] tiles)
+    lo_c = rel_p_ref[:, 0:1]
+    hi_c = rel_p_ref[:, 1:2]
+    rm_c = rel_p_ref[:, 2:3]
+    amin_c = ang_p_ref[:, 0:1]
+    amax_c = ang_p_ref[:, 1:2]
+    am_c = ang_p_ref[:, 2:3]
+    cv0_c = clr_p_ref[:, 0:1]
+    ctl_c = clr_p_ref[:, 1:2]
+    cmn_c = clr_p_ref[:, 2:3]
+    cmy_c = clr_p_ref[:, 3:4]
+    cMx_c = clr_p_ref[:, 4:5]
+    cMy_c = clr_p_ref[:, 5:6]
+    cm_c = clr_p_ref[:, 6:7]
 
     def reflections(x, y, rot):
         """Mirror pose across the symmetry axis (Kernel.cu:290-299); [B,N]."""
@@ -568,12 +649,14 @@ def _fused_kernel(
         dt = jnp.where(dt > pi, dt - 2 * pi, dt)
         return 5.0 - jnp.sqrt(dp) - 0.4 * jnp.abs(dt)
 
-    def costs_of(x, y, rot, with_offlimits, with_sym=True):
+    def costs_of(x, y, rot, with_offlimits, with_sym=True, aabbs=None):
         """Weighted breakdown for pose planes x/y/rot of shape [B, N].
 
         Returns (total[B,1], terms dict of [B,1]). All N x N / C x N terms
         are chain-vectorized 3-D tiles ([B, N, N] / [B, C, N]) — no
         per-chain unrolled loops (those ran ~8x below VPU peak).
+        ``aabbs``: precomputed ``obj_aabbs(x, y)`` to share with the
+        caller's FIXED-mode off-limits state update.
         """
         xm = x * mask_row
         ym = y * mask_row
@@ -598,24 +681,108 @@ def _fused_kernel(
         # (each 6 passes); the rot rows only contribute the angle-target
         # columns but the extra MXU flops are free (the MXU is idle).
         # Row-slicing [3B, M] at multiples of B keeps sublane alignment.
+        # The thin engine gathers TRANSPOSED ([M, 3B] — entities on
+        # sublanes, chains on lanes) so the entity math that follows runs
+        # on [E, B] tiles (1 vreg at B = 128) instead of [B, E] tiles
+        # (16 vregs each, ~96% dead lanes).
         xyr = jnp.concatenate([x, y, rot], axis=0)  # [3B, N]
-        g_all3 = onehot_gather(xyr, gmat_h)  # [3B, M]
-        gx_all = jax.lax.slice_in_dim(g_all3, 0, bw, axis=0)
-        gy_all = jax.lax.slice_in_dim(g_all3, bw, 2 * bw, axis=0)
-        gr_all = jax.lax.slice_in_dim(g_all3, 2 * bw, 3 * bw, axis=0)
-        atr = gr_all[:, 2 * r_cnt + a_cnt : 2 * r_cnt + 2 * a_cnt]
-        sx = gx_all[:, 0:r_cnt]
-        sy_ = gy_all[:, 0:r_cnt]
-        tx = gx_all[:, r_cnt : 2 * r_cnt]
-        ty = gy_all[:, r_cnt : 2 * r_cnt]
-        asx = gx_all[:, 2 * r_cnt : 2 * r_cnt + a_cnt]
-        asy = gy_all[:, 2 * r_cnt : 2 * r_cnt + a_cnt]
-        atx = gx_all[:, 2 * r_cnt + a_cnt : 2 * r_cnt + 2 * a_cnt]
-        aty = gy_all[:, 2 * r_cnt + a_cnt : 2 * r_cnt + 2 * a_cnt]
+        if thin:
+            g_t = gather_t(gmat_h, xyr)  # [M, 3B]
+        else:
+            g_all3 = onehot_gather(xyr, gmat_h)  # [3B, M]
+            gx_all = jax.lax.slice_in_dim(g_all3, 0, bw, axis=0)
+            gy_all = jax.lax.slice_in_dim(g_all3, bw, 2 * bw, axis=0)
+            gr_all = jax.lax.slice_in_dim(g_all3, 2 * bw, 3 * bw, axis=0)
+            atr = gr_all[:, 2 * r_cnt + a_cnt : 2 * r_cnt + 2 * a_cnt]
+            sx = gx_all[:, 0:r_cnt]
+            sy_ = gy_all[:, 0:r_cnt]
+            tx = gx_all[:, r_cnt : 2 * r_cnt]
+            ty = gy_all[:, r_cnt : 2 * r_cnt]
+            asx = gx_all[:, 2 * r_cnt : 2 * r_cnt + a_cnt]
+            asy = gy_all[:, 2 * r_cnt : 2 * r_cnt + a_cnt]
+            atx = gx_all[:, 2 * r_cnt + a_cnt : 2 * r_cnt + 2 * a_cnt]
+            aty = gy_all[:, 2 * r_cnt + a_cnt : 2 * r_cnt + 2 * a_cnt]
         _clr_off = 2 * r_cnt + 2 * a_cnt
 
+        if thin:
+            # === thin-engine entity math: [E, bw] tiles, chains on lanes ===
+            # pairwise distance + angle (Kernel.cu:210-263); entity params
+            # are [E, 1] columns broadcast over the chain lanes
+            if 'rel' in _DEBUG_SKIP:
+                pair_t = jnp.zeros((1, bw), jnp.float32)
+            else:
+                a0 = 2 * r_cnt
+                sx = g_t[0:r_cnt, 0:bw]
+                sy_ = g_t[0:r_cnt, bw : 2 * bw]
+                tx = g_t[r_cnt : 2 * r_cnt, 0:bw]
+                ty = g_t[r_cnt : 2 * r_cnt, bw : 2 * bw]
+                d = jnp.sqrt(jnp.square(sx - tx) + jnp.square(sy_ - ty))
+                lo_safe = jnp.where(lo_c > 0, lo_c, 1.0)
+                d_safe = jnp.where(d > 0, d, 1.0)
+                pen = jnp.where(
+                    d < lo_c, -jnp.square(d / lo_safe),
+                    jnp.where(d > hi_c, -jnp.square(hi_c / d_safe), 0.0),
+                )
+                pw_t = jnp.sum((pen * rm_c)[None, :, :], axis=1)  # [1,bw]
+                asx = g_t[a0 : a0 + a_cnt, 0:bw]
+                asy = g_t[a0 : a0 + a_cnt, bw : 2 * bw]
+                atx = g_t[a0 + a_cnt : a0 + 2 * a_cnt, 0:bw]
+                aty = g_t[a0 + a_cnt : a0 + 2 * a_cnt, bw : 2 * bw]
+                atr = g_t[a0 + a_cnt : a0 + 2 * a_cnt, 2 * bw : 3 * bw]
+                th = theta_fn(asx, asy, atx, aty, atr)
+                dev = jnp.minimum(jnp.abs(th - amin_c), jnp.abs(th - amax_c))
+                wrap_case = amin_c > amax_c
+                norm_wrap = jnp.where(wrap_case, (amin_c - amax_c) / 2.0, 1.0)
+                cond_wrap = jnp.mod(amin_c + th, 2 * pi) > amax_c
+                npl_raw = (2 * pi - (amax_c - amin_c)) / 2.0
+                npl = jnp.where(npl_raw != 0, npl_raw, 1.0)
+                if parity:
+                    cond_plain = (amin_c < th) | (th < amax_c)
+                else:
+                    cond_plain = (th < amin_c) | (th > amax_c)
+                apen = jnp.where(
+                    wrap_case,
+                    jnp.where(cond_wrap, -dev / norm_wrap, 0.0),
+                    jnp.where(cond_plain, -dev / npl, 0.0),
+                )
+                pwa_t = jnp.sum((apen * am_c)[None, :, :], axis=1)  # [1,bw]
+                # the PairWise x PairWiseAngle product quirk (parity,
+                # Kernel.cu:518) / sum (fixed) folds in thin layout
+                pair_t = pw_t * pwa_t if parity else pw_t + pwa_t
+
+            # clearance anchors + surface-area outside areas, [Cp, bw]
+            cax_t = g_t[_clr_off : _clr_off + c_cnt_s, 0:bw]
+            cay_t = g_t[_clr_off : _clr_off + c_cnt_s, bw : 2 * bw]
+            if 'clr' in _DEBUG_SKIP:
+                sa_clr_t = jnp.zeros((1, bw), jnp.float32)
+            else:
+                if parity:
+                    aoff = _clr_off + c_cnt_s
+                    pax_t = g_t[aoff : aoff + c_cnt_s, 0:bw]
+                    pay_t = g_t[aoff : aoff + c_cnt_s, bw : 2 * bw]
+                else:
+                    pax_t, pay_t = cax_t, cay_t
+                sa_mat_t = outside_area(
+                    aabb_minx(cv0_c, ctl_c, cmn_c, pax_t),
+                    cmy_c + pay_t, cMx_c + pax_t, cMy_c + pay_t,
+                )  # [Cp, bw] — padded rows are zeroed by the mask column
+                sa_clr_t = -jnp.sum(
+                    (sa_mat_t * cm_c)[None, :, :], axis=1
+                )  # [1,bw]
+
+            # ONE exact identity-MXU transpose moves the per-chain results
+            # back to [bw, K] column layout for the aggregate + the wide
+            # clearance-vs-objects tiles
+            back = t_cols(
+                jnp.concatenate([pair_t, sa_clr_t, cax_t, cay_t], axis=0)
+            )  # [bw, 2 + 2*Cp]
+            pair_b = back[:, 0:1]
+            sa_clr = back[:, 1:2]
+            cax_w = back[:, 2 : 2 + c_cnt_s]  # [bw, Cp]
+            cay_w = back[:, 2 + c_cnt_s : 2 + 2 * c_cnt_s]
+            pw = pwa = None  # unused in thin mode (pair_b carries both)
         # --- pairwise distance (Kernel.cu:210-233) -------------------------
-        if 'rel' in _DEBUG_SKIP:
+        elif 'rel' in _DEBUG_SKIP:
             pw = jnp.zeros((bw, 1), jnp.float32)
             pwa = jnp.zeros((bw, 1), jnp.float32)
         else:
@@ -686,7 +853,9 @@ def _fused_kernel(
         # off-limits AABBs: computed ONCE and shared by the off-limits,
         # clearance, and surface-area sections (was recomputed per section
         # — 3x the [B, N] plane ops on an issue-bound step)
-        omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N]
+        omnx, omny, omxx, omxy = (
+            aabbs if aabbs is not None else obj_aabbs(x, y)
+        )  # [B, N]
 
         # --- N x N terms, chain-vectorized: symmetry + off-limits ----------
         # [B, N, N] tiles with i (reflection/row) on sublanes, j (candidate)
@@ -725,7 +894,44 @@ def _fused_kernel(
                 off = jnp.zeros((bw, 1), jnp.float32)
 
         # --- clearance (Kernel.cu:404-434) ---------------------------------
-        if 'clr' in _DEBUG_SKIP:
+        if thin:
+            # thin engine: sa_clr came out of the transposed section above;
+            # only the clearance-vs-every-object tiles are inherently wide
+            # (clearance rect [bw,1] against the [bw,N] object AABBs)
+            clr_sum = jnp.zeros((bw, 1), jnp.float32)
+            if 'clr' not in _DEBUG_SKIP:
+                if clr_unroll:
+                    for c in range(n_clr_real):
+                        cv0 = clr_scal_ref[c * 8 + 0]
+                        ctl = clr_scal_ref[c * 8 + 1]
+                        cmn = clr_scal_ref[c * 8 + 2]
+                        cmy = clr_scal_ref[c * 8 + 3]
+                        cMx = clr_scal_ref[c * 8 + 4]
+                        cMy = clr_scal_ref[c * 8 + 5]
+                        cax_c = cax_w[:, c : c + 1]  # [bw,1]
+                        cay_c = cay_w[:, c : c + 1]
+                        ar = inter_area(
+                            aabb_minx(cv0, ctl, cmn, cax_c), cmy + cay_c,
+                            cMx + cax_c, cMy + cay_c,
+                            omnx, omny, omxx, omxy,
+                        )  # [bw, N]
+                        clr_sum = clr_sum - jnp.sum(
+                            ar * mask_row, axis=1, keepdims=True
+                        )
+                else:
+                    cmnx = aabb_minx(cv0_h, ctl_h, cmn_h, cax_w)  # [bw, Cp]
+                    cmny = cmy_h + cay_w
+                    cmxx = cMx_h + cax_w
+                    cmxy = cMy_h + cay_w
+                    ar = inter_area(
+                        cmnx[:, :, None], cmny[:, :, None],
+                        cmxx[:, :, None], cmxy[:, :, None],
+                        omnx[:, None, :], omny[:, None, :],
+                        omxx[:, None, :], omxy[:, None, :],
+                    )  # [bw, Cp, N]
+                    clr_row = jnp.sum(ar * mask.reshape(1, 1, n), axis=2)
+                    clr_sum = -jnp.sum((clr_row * cm_h)[:, :, None], axis=1)
+        elif 'clr' in _DEBUG_SKIP:
             clr_sum = jnp.zeros((bw, 1), jnp.float32)
             sa_clr = jnp.zeros((bw, 1), jnp.float32)
         elif clr_unroll:
@@ -807,7 +1013,9 @@ def _fused_kernel(
             )
 
         # --- aggregate (Kernel.cu:516-550) ---------------------------------
-        if parity:
+        if thin:
+            pair_w = w_pw * pair_b  # product/sum quirk applied in thin layout
+        elif parity:
             pair_w = w_pw * (pw * pwa)
         else:
             pair_w = w_pw * (pw + pwa)
@@ -835,6 +1043,19 @@ def _fused_kernel(
     # recomputed cells reuse sym_val and are bitwise equal to a full eval.
     S = n // 8
     iota_s3 = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+
+    def accept_mask_S(acc_b):
+        """[w,1] bool accept mask -> [w,S,1] for slab-state commits.
+
+        Two-stage broadcast on purpose, at EVERY commit site: sublanes
+        here (via the constant-true ``iota_s3 >= 0``), lanes inside the
+        consuming ``where``. The direct [w,1,1] -> [w,S,N] form can reach
+        Mosaic as a single both-dims ``vector.broadcast``, which its
+        layout pass rejects ("Not implemented: Broadcast in both sublanes
+        and lanes" — crashed every MH_FUSED_SKIP=rng compile until probed
+        2026-08-21). Do not "simplify" to ``acc_b[:, :, None]``.
+        """
+        return acc_b[:, :, None] & (iota_s3 >= 0)
     iota_g3 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
     iota_j3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
     slab_mask3 = (
@@ -1011,6 +1232,86 @@ def _fused_kernel(
         l_oh = (sel[:, None, :] > 0) & g_on
         return jnp.where(l_oh, newcol[:, :, None], so)
 
+    def dual_off_slab_row(s1_i3, s2_i3, omnx, omny, omxx, omxy):
+        """Both moved objects' pair-sum slab rows in ONE [B,16,N] eval.
+
+        Mirrors ``dual_slab_row_max``: slots 0-7 gather slab ``s1``'s
+        candidates, 8-15 slab ``s2``'s; halves reduce separately. Cell
+        values equal the single-slab ``off_slab_row`` results (each half's
+        masked sum covers the same 8 candidates).
+        """
+        gidx = jnp.where(
+            iota_g16 < 8,
+            s1_i3 * 8 + iota_g16,
+            s2_i3 * 8 + (iota_g16 - 8),
+        )  # [B,16,1]
+        candsel = (gidx == iota_j3).astype(jnp.float32)  # [B,16,N]
+
+        def gath(p):
+            return jnp.sum(candsel * p[:, None, :], axis=2)  # [B,16]
+
+        cmsk = jnp.sum(candsel * mask3j, axis=2)  # [B,16]
+        ar = inter_area(
+            gath(omnx)[:, :, None], gath(omny)[:, :, None],
+            gath(omxx)[:, :, None], gath(omxy)[:, :, None],
+            omnx[:, None, :], omny[:, None, :],
+            omxx[:, None, :], omxy[:, None, :],
+        )  # [B,16,N] — candidate g (as j) vs every i (lanes)
+        tri = (gidx > iota_j3).astype(jnp.float32)  # j > i
+        contrib = ar * tri * cmsk[:, :, None]
+        half1 = iota_g16 < 8
+        row1 = jnp.sum(jnp.where(half1, contrib, 0.0), axis=1)  # [B,N]
+        row2 = jnp.sum(jnp.where(half1, 0.0, contrib), axis=1)
+        return row1, row2
+
+    def so_star_batched(so, sel1, sel2, gate1, gate2, aabbs,
+                        s1_i3, s2_i3, stale1, stale2):
+        """Fold BOTH moved objects into the off-limits pair-sum state.
+
+        The batched (one [B,16,N] dual row eval + one [B,2S,N] stacked
+        column sum) replacement for two sequential ``so_update`` calls —
+        FIXED mode alone pays this machinery and measured 42% slower than
+        PARITY before (round-4 FIXED addendum). Write order (row2 after
+        row1, col2 after col1) matches the sequential path; same-slab /
+        same-lane overlap cells hold the same recomputed sums either way.
+        ``aabbs``: the star pose's ``obj_aabbs`` (shared with costs_of).
+        """
+        omnx, omny, omxx, omxy = aabbs
+        row1, row2 = dual_off_slab_row(s1_i3, s2_i3, omnx, omny, omxx, omxy)
+        so = jnp.where(stale1, row1[:, None, :], so)
+        so = jnp.where(stale2, row2[:, None, :], so)
+
+        # column lanes k1/k2: each moved object's own row of pair sums
+        sel12 = jnp.concatenate(
+            [sel1[:, None, :], sel2[:, None, :]], axis=1
+        )  # [B,2,N]
+        pk = lambda p: jnp.sum(sel12 * p[:, None, :], axis=2, keepdims=True)
+        ar12 = inter_area(
+            pk(omnx), pk(omny), pk(omxx), pk(omxy),
+            omnx[:, None, :], omny[:, None, :],
+            omxx[:, None, :], omxy[:, None, :],
+        )  # [B,2,N] — object k_m vs every j
+        k12 = jnp.sum(sel12 * iota_n[None, :, :].astype(jnp.float32), axis=2,
+                      keepdims=True)  # [B,2,1]
+        tri12 = (iota_j3 > k12.astype(jnp.int32)).astype(jnp.float32)
+        vrow12 = ar12 * tri12 * mask_row[None, :, :]  # [B,2,N]
+        v1 = jax.lax.slice_in_dim(vrow12, 0, 1, axis=1)  # [B,1,N]
+        v2 = jax.lax.slice_in_dim(vrow12, 1, 2, axis=1)
+        v3 = jnp.concatenate(
+            [
+                jnp.where(slab_mask3, v1, 0.0),
+                jnp.where(slab_mask3, v2, 0.0),
+            ],
+            axis=1,
+        )  # [B,2S,N]
+        newcol12 = jnp.sum(v3, axis=2)  # [B,2S]
+        newcol1 = jax.lax.slice_in_dim(newcol12, 0, S, axis=1)[:, :, None]
+        newcol2 = jax.lax.slice_in_dim(newcol12, S, 2 * S, axis=1)[:, :, None]
+        c1 = (sel1[:, None, :] > 0) & (gate1[:, :, None] > 0)  # [B,1,N]
+        c2 = (sel2[:, None, :] > 0) & (gate2[:, :, None] > 0)
+        so = jnp.where(c1, newcol1, so)
+        return jnp.where(c2, newcol2, so)
+
     def sm_update(sm, sel, x_st, y_st, rot_st, rx_st, ry_st, rrot_st, gate_b):
         """Fold the moved object `sel` (one-hot [B,N]) into sm.
 
@@ -1043,7 +1344,8 @@ def _fused_kernel(
         # one [B, LANE] random block per call; sw path counts draws in SMEM
         cnt_s[0] = jnp.int32(0)
 
-        def draw_block():
+        def draw_block(transposed=False):
+            shape = (LANE, B) if transposed else (B, LANE)
             if 'rng' in _DEBUG_SKIP:
                 # anchor the pseudo-draws to a runtime scalar (value still
                 # 0.5): fully constant draws fold the one-hot selection
@@ -1051,15 +1353,17 @@ def _fused_kernel(
                 # with a replicated {*,*} out-layout that crashes Mosaic's
                 # layout pass ("Please report a bug", probed 2026-08-21) —
                 # this was the round-3 "HTTP-500" remote-compile failure
-                return jnp.full((B, LANE), 0.5, jnp.float32) + (
+                return jnp.full(shape, 0.5, jnp.float32) + (
                     seed_ref[0] * 0
                 ).astype(jnp.float32)
             if rng_hw:
-                return _uniform((B, LANE))
+                return _uniform((B, LANE))  # thin forces the counter stream
             c = cnt_s[0]
             cnt_s[0] = c + 1
             base = (seed_ref[0] * _i32c(0x9E3779B9)) ^ (c * _i32c(0x85EBCA6B))
-            return _uniform_sw(base, (B, LANE), row_offset=first_chain)
+            return _uniform_sw(
+                base, shape, row_offset=first_chain, transposed=transposed
+            )
 
         # all six pose planes live in ONE stacked [6, B, N] scratch
         # (0=x, 1=y, 2=z, 3=rotX, 4=rotY, 5=rotZ — the pose_ref layout):
@@ -1216,13 +1520,10 @@ def _fused_kernel(
                 acc_b[None, :, :], star_stack, p_s[:, :, :]
             )
             if incremental:
-                sm_s[:, :, :] = jnp.where(
-                    acc_b[:, :, None], sm_star, sm_s[:, :, :]
-                )
+                accS_m = accept_mask_S(acc_b)
+                sm_s[:, :, :] = jnp.where(accS_m, sm_star, sm_s[:, :, :])
                 if not parity:
-                    so_s[:, :, :] = jnp.where(
-                        acc_b[:, :, None], so_star, so_s[:, :, :]
-                    )
+                    so_s[:, :, :] = jnp.where(accS_m, so_star, so_s[:, :, :])
             cur_s[:, 0:1] = jnp.where(acc_b, total_star, cur)
             cur_s[:, 1:2] = cur_s[:, 1:2] + acc
             if adapt:
@@ -1258,22 +1559,75 @@ def _fused_kernel(
             y = ps[1]
             rot = ps[4]
 
-            move = jnp.minimum((us[:, 0:1] * 3.0).astype(jnp.int32), 2)  # [B,1]
-            if accept_draws == 1:
-                u_acc = us[:, 1:2]
-            else:
-                # lanes 8..8+K are untouched by the proposal (lanes 0-7
-                # drive it), so the K accept draws stay independent of it
-                u_acc = jnp.min(
-                    us[:, 8 : 8 + accept_draws], axis=1, keepdims=True
-                )
-            scale_b = jnp.exp(cur_s[s0 : s0 + w, 2:3]) if adapt else scale
-            r1 = jnp.sqrt(-2.0 * jnp.log(us[:, 2:3]))
-            r2 = jnp.sqrt(-2.0 * jnp.log(us[:, 4:5]))
             two_pi = 2.0 * math.pi
-            dx = r1 * jnp.cos(two_pi * us[:, 3:4]) * sigx * scale_b
-            dy = r1 * jnp.sin(two_pi * us[:, 3:4]) * sigy * scale_b
-            drot = r2 * jnp.cos(two_pi * us[:, 5:6]) * sigt * scale_b
+            if thin:
+                # === thin proposal scalars: draw rows [lanes, w] (chains
+                # on lanes), whole chain [1, w] ops at 1 vreg each, then
+                # ONE exact identity-MXU transpose back to [w, 1] columns
+                move_t = jnp.minimum(
+                    (us[0:1, :] * 3.0).astype(jnp.int32), 2
+                )  # [1,w]
+                if accept_draws == 1:
+                    u_acc_t = us[1:2, :]
+                else:
+                    # rows 8..8+K are untouched by the proposal (rows 0-7
+                    # drive it), so the K accept draws stay independent
+                    u_acc_t = jnp.min(
+                        us[8 : 8 + accept_draws, :][None, :, :], axis=1
+                    )  # [1,w]
+                if adapt:
+                    scale_t = jnp.exp(t_row(cur_s[s0 : s0 + w, 2:3]))
+                else:
+                    scale_t = scale
+                r1 = jnp.sqrt(-2.0 * jnp.log(us[2:3, :]))
+                r2 = jnp.sqrt(-2.0 * jnp.log(us[4:5, :]))
+                dx_t = r1 * jnp.cos(two_pi * us[3:4, :]) * sigx * scale_t
+                dy_t = r1 * jnp.sin(two_pi * us[3:4, :]) * sigy * scale_t
+                drot_t = r2 * jnp.cos(two_pi * us[5:6, :]) * sigt * scale_t
+                n_unf_m1 = jnp.maximum(n_unf - 1.0, 0.0)
+                k1_t = jnp.minimum(
+                    jnp.floor(us[6:7, :] * n_unf), n_unf_m1
+                ) + 1.0
+                k2_t = jnp.minimum(
+                    jnp.floor(us[7:8, :] * n_unf), n_unf_m1
+                ) + 1.0
+                is_t_t = (move_t == 0).astype(jnp.float32)
+                is_r_t = (move_t == 1).astype(jnp.float32)
+                is_s_t = ((move_t == 2) & (n_objs >= 2)).astype(jnp.float32)
+                backp = t_cols(
+                    jnp.concatenate(
+                        [u_acc_t, dx_t, dy_t, drot_t, k1_t, k2_t,
+                         is_t_t, is_r_t, is_s_t],
+                        axis=0,
+                    )
+                )  # [w, 9]
+                u_acc = backp[:, 0:1]
+                dx = backp[:, 1:2]
+                dy = backp[:, 2:3]
+                drot = backp[:, 3:4]
+                k1 = backp[:, 4:5]
+                k2 = backp[:, 5:6]
+                is_t = backp[:, 6:7]
+                is_r = backp[:, 7:8]
+                is_s = backp[:, 8:9]
+            else:
+                move = jnp.minimum(
+                    (us[:, 0:1] * 3.0).astype(jnp.int32), 2
+                )  # [w,1]
+                if accept_draws == 1:
+                    u_acc = us[:, 1:2]
+                else:
+                    # lanes 8..8+K are untouched by the proposal (lanes 0-7
+                    # drive it), so the K accept draws stay independent of it
+                    u_acc = jnp.min(
+                        us[:, 8 : 8 + accept_draws], axis=1, keepdims=True
+                    )
+                scale_b = jnp.exp(cur_s[s0 : s0 + w, 2:3]) if adapt else scale
+                r1 = jnp.sqrt(-2.0 * jnp.log(us[:, 2:3]))
+                r2 = jnp.sqrt(-2.0 * jnp.log(us[:, 4:5]))
+                dx = r1 * jnp.cos(two_pi * us[:, 3:4]) * sigx * scale_b
+                dy = r1 * jnp.sin(two_pi * us[:, 3:4]) * sigy * scale_b
+                drot = r2 * jnp.cos(two_pi * us[:, 5:6]) * sigt * scale_b
 
             # Uniform pick among movable objects via rank match: draw a
             # 1-based rank k in [1, n_unf] and one-hot the object whose
@@ -1283,17 +1637,17 @@ def _fused_kernel(
             # rank 0 (pack_scene zero-pads the cumsum); k >= 1 plus the ok
             # gate keeps both out. Replaces a [B, 2N] gumbel-max (two log-log
             # passes + row max-reductions) with two scalar lanes of `us`.
-            n_unf_m1 = jnp.maximum(n_unf - 1.0, 0.0)
-            k1 = jnp.minimum(jnp.floor(us[:, 6:7] * n_unf), n_unf_m1) + 1.0
-            k2 = jnp.minimum(jnp.floor(us[:, 7:8] * n_unf), n_unf_m1) + 1.0
+            if not thin:
+                n_unf_m1 = jnp.maximum(n_unf - 1.0, 0.0)
+                k1 = jnp.minimum(jnp.floor(us[:, 6:7] * n_unf), n_unf_m1) + 1.0
+                k2 = jnp.minimum(jnp.floor(us[:, 7:8] * n_unf), n_unf_m1) + 1.0
+                is_t = (move == 0).astype(jnp.float32)
+                is_r = (move == 1).astype(jnp.float32)
+                is_s = ((move == 2) & (n_objs >= 2)).astype(jnp.float32)
             ok_row = okv.reshape(1, n)
             rank_row = rankv.reshape(1, n)
             sel1 = ((rank_row == k1) & (ok_row > 0)).astype(jnp.float32)
             sel2 = ((rank_row == k2) & (ok_row > 0)).astype(jnp.float32)
-
-            is_t = (move == 0).astype(jnp.float32)
-            is_r = (move == 1).astype(jnp.float32)
-            is_s = ((move == 2) & (n_objs >= 2)).astype(jnp.float32)
 
             # translate/rotate deltas are plane-specific [B, N] math...
             w_t = is_t * sel1
@@ -1326,6 +1680,7 @@ def _fused_kernel(
             rot_star = star[4]
 
             gate1 = jnp.full((w, 1), 1.0, jnp.float32) * gate
+            ab_star = obj_aabbs(x_star, y_star) if not parity else None
             if incremental:
                 # shared symmetry prelude for both commit variants: one
                 # [B,16,N] dual-slab row eval, and BOTH moved lanes' value
@@ -1334,40 +1689,42 @@ def _fused_kernel(
                 rx_st, ry_st, rrot_st = reflections(x_star, y_star, rot_star)
                 s1_i = (
                     jnp.sum(sel1 * iota_n, axis=1, keepdims=True)
-                ).astype(jnp.int32)[:, :, None] // 8  # [B,1,1]
+                ).astype(jnp.int32)[:, :, None] // 8  # [w,1,1]
                 s2_i = (
                     jnp.sum(sel2 * iota_n, axis=1, keepdims=True)
                 ).astype(jnp.int32)[:, :, None] // 8
-                g1_on = gate1[:, :, None] > 0  # [B,1,1]
+                g1_on = gate1[:, :, None] > 0  # [w,1,1]
                 g2_on = sw[:, :, None] > 0
                 row1, row2 = dual_slab_row_max(
                     s1_i, s2_i, x_star, y_star, rot_star,
                     rx_st, ry_st, rrot_st,
-                )  # [B,N] x 2
+                )  # [w,N] x 2
                 sel12 = jnp.concatenate(
                     [sel1[:, None, :], sel2[:, None, :]], axis=1
-                )  # [B,2,N]
+                )  # [w,2,N]
                 rxk = jnp.sum(sel12 * rx_st[:, None, :], axis=2, keepdims=True)
                 ryk = jnp.sum(sel12 * ry_st[:, None, :], axis=2, keepdims=True)
                 rrk = jnp.sum(sel12 * rrot_st[:, None, :], axis=2, keepdims=True)
                 v12 = sym_val(
                     x_star[:, None, :], y_star[:, None, :],
                     rot_star[:, None, :], rxk, ryk, rrk,
-                )  # [B,2,N]
+                )  # [w,2,N]
                 v12 = jnp.where(mask3j > 0, v12, _NEG_HUGE)
                 # keep the [B,1,N] slice forms: every consumer broadcasts
                 # over sublanes or reduces axis 2, so no squeeze is needed
-                v1_3 = jax.lax.slice_in_dim(v12, 0, 1, axis=1)  # [B,1,N]
+                v1_3 = jax.lax.slice_in_dim(v12, 0, 1, axis=1)  # [w,1,N]
                 v2_3 = jax.lax.slice_in_dim(v12, 1, 2, axis=1)
-                stale1 = (iota_s3 == s1_i) & g1_on  # [B,S,1]
+                stale1 = (iota_s3 == s1_i) & g1_on  # [w,S,1]
                 stale2 = (iota_s3 == s2_i) & g2_on
-            if incremental and not defer_commit:
+            if incremental:
                 # Materialized incremental symmetry (round-1 semantics):
                 # build sm_star before the accept decision, commit with ONE
-                # [B,S,N] select. More critical-path latency than the
-                # deferred path below but fewer total tile passes — the
-                # faster variant on v5e, where the step is throughput-bound
-                # (MH_FUSED_DEFER=1 selects the other).
+                # [B,S,N] select. (A deferred-commit variant that skipped
+                # materializing sm_star existed as MH_FUSED_DEFER=1; it
+                # traded fewer pre-accept passes for ~3 extra total tile
+                # passes and measured 0.125 vs 0.097 ms/step — the step is
+                # throughput-bound, so total passes price it. Deleted
+                # round 5; post-mortem in docs/PERFORMANCE.md round-3.)
                 #
                 # Both moved objects' evaluations are batched: the dual-slab
                 # row eval above plus one [B,2S,N] stacked segmented column
@@ -1376,7 +1733,6 @@ def _fused_kernel(
                 # paths touch is a max over the same one-hot-gathered values
                 # (the overlap cell [s2, lane1] is max_{j in s2} val[k1, j]
                 # either way — max is order-insensitive), pinned by the
-                # interpret-mode A/B vs MH_FUSED_DEFER=1 and the
                 # bitwise-vs-full-recompute test.
                 #
                 # rows: moved candidates' slabs recomputed for all lanes.
@@ -1392,65 +1748,44 @@ def _fused_kernel(
                         jnp.where(slab_mask3, v2_3, _NEG_HUGE),
                     ],
                     axis=1,
-                )  # [B,2S,N]
-                newcol12 = jnp.max(v3, axis=2)  # [B,2S]
+                )  # [w,2S,N]
+                newcol12 = jnp.max(v3, axis=2)  # [w,2S]
                 # static lane slices + [:, :, None] expansion (a combined
                 # `[:, :S, None]` getitem lowers to a Mosaic-rejected gather)
                 newcol1 = jax.lax.slice_in_dim(newcol12, 0, S, axis=1)[:, :, None]
                 newcol2 = jax.lax.slice_in_dim(newcol12, S, 2 * S, axis=1)[:, :, None]
-                c1 = (sel1[:, None, :] > 0) & g1_on  # [B,1,N]
+                c1 = (sel1[:, None, :] > 0) & g1_on  # [w,1,N]
                 c2 = (sel2[:, None, :] > 0) & g2_on
                 sm_star = jnp.where(c1, newcol1, sm_star)
                 sm_star = jnp.where(c2, newcol2, sm_star)
                 t_other, _ = costs_of(
-                    x_star, y_star, rot_star, False, with_sym=False
+                    x_star, y_star, rot_star, False, with_sym=False,
+                    aabbs=ab_star,
                 )
                 total_star = t_other + w_sy * sym_from_sm(sm_star)
-            elif incremental:
-                # Deferred-commit incremental symmetry: compute the candidate
-                # total WITHOUT materializing sm_star (round-1 built it via 5
-                # sequential [B,S,N] select passes before the accept decision
-                # could issue). The per-lane best after a <=2-object move is
-                # reconstructible from (a) the carried sm with the two stale
-                # slabs masked out, (b) the two fresh slab rows, and (c) for
-                # the moved lanes themselves the max of their fresh value row
-                # (max_s newcol[s] == max_j vrow[j] — max is order-insensitive
-                # so this is bitwise-equal to the materialized path). State is
-                # committed after (and gated by) acceptance instead.
-                base = jnp.max(
-                    jnp.where(stale1 | stale2, _NEG_HUGE, sm_s[s0 : s0 + w, :, :]),
-                    axis=1,
-                )  # [B,N]
-                best = jnp.maximum(
-                    base, jnp.where(gate1 > 0, row1, _NEG_HUGE)
-                )
-                best = jnp.maximum(best, jnp.where(sw > 0, row2, _NEG_HUGE))
-                m1 = jnp.max(v1_3, axis=2)  # [B,1]
-                m2 = jnp.max(v2_3, axis=2)
-                best = jnp.where((sel1 > 0) & (gate1 > 0), m1, best)
-                best = jnp.where((sel2 > 0) & (sw > 0), m2, best)
-                sym_star = -jnp.sum(
-                    jnp.maximum(best, 0.0) * mask_row, axis=1, keepdims=True
-                )
-                t_other, _ = costs_of(
-                    x_star, y_star, rot_star, False, with_sym=False
-                )
-                total_star = t_other + w_sy * sym_star
             else:
-                total_star, _ = costs_of(x_star, y_star, rot_star, False)
+                total_star, _ = costs_of(
+                    x_star, y_star, rot_star, False, aabbs=ab_star
+                )
             if not parity:
                 if incremental:
-                    so_star = so_update(
-                        so_s[s0 : s0 + w, :, :], sel1, x_star, y_star, gate1
+                    # batched dual update (one [w,16,N] row eval + one
+                    # [w,2S,N] stacked column sum) — FIXED alone pays the
+                    # off-limits state machinery, and the two sequential
+                    # so_update calls priced it 42% over PARITY (r4);
+                    # reuses the symmetry prelude's slab indices/masks
+                    # and the star AABBs costs_of already needed
+                    so_star = so_star_batched(
+                        so_s[s0 : s0 + w, :, :], sel1, sel2, gate1, sw,
+                        ab_star, s1_i, s2_i, stale1, stale2,
                     )
-                    so_star = so_update(so_star, sel2, x_star, y_star, sw)
                     off_star = off_from_so(so_star)
                 else:
                     off_star = off_from_so(off_state_init(x_star, y_star))
                 total_star = total_star + w_ol * off_star
             cur = cur_s[s0 : s0 + w, 0:1]
             ratio = jnp.exp(jnp.minimum(beta * (total_star - cur), 0.0))
-            acc_b = (u_acc < ratio) & (gate > 0) & active  # [B,1] bool
+            acc_b = (u_acc < ratio) & (gate > 0) & active  # [w,1] bool
             acc = acc_b.astype(jnp.float32)
 
             # where-selects keep the stored state bitwise equal to the star
@@ -1459,41 +1794,11 @@ def _fused_kernel(
             # ONE stacked [6,B,N] select commits every plane — the aux
             # (z/rotX/rotZ) swap deltas are already inside `star`.
             p_s[:, s0 : s0 + w, :] = jnp.where(acc_b[None, :, :], star, ps)
-            # two-stage accept-mask broadcast ([w,1,1] -> [w,S,1] on
-            # sublanes, lanes broadcast inside the where): the direct
-            # [w,1,1] -> [w,S,N] form can reach Mosaic as a single
-            # both-dims vector.broadcast, which is "Not implemented"
-            # (crashed every MH_FUSED_SKIP=rng compile; probed 2026-08-21)
-            accS = acc_b[:, :, None] & (iota_s3 >= 0)  # [w,S,1]
-            if incremental and not defer_commit:
+            accS = accept_mask_S(acc_b)  # [w,S,1]
+            if incremental:
                 sm_s[s0 : s0 + w, :, :] = jnp.where(
                     accS, sm_star, sm_s[s0 : s0 + w, :, :]
                 )
-                if not parity:
-                    so_s[s0 : s0 + w, :, :] = jnp.where(
-                        accS, so_star, so_s[s0 : s0 + w, :, :]
-                    )
-            elif incremental:
-                # acceptance-gated slab-state commit (rows then columns —
-                # write order makes the overlap cells bitwise-equal to the
-                # round-1 materialized sm_star; see docstring above)
-                a3 = accS  # [w,S,1] two-stage accept mask (see above)
-                w1 = stale1 & a3  # [B,S,1]
-                w2 = stale2 & a3
-                rowpick = jnp.where(w2, row2[:, None, :], row1[:, None, :])
-                sm = jnp.where(w1 | w2, rowpick, sm_s[s0 : s0 + w, :, :])
-                newcol1 = jnp.max(
-                    jnp.where(slab_mask3, v1_3, _NEG_HUGE), axis=2
-                )  # [B,S]
-                newcol2 = jnp.max(
-                    jnp.where(slab_mask3, v2_3, _NEG_HUGE), axis=2
-                )
-                c1 = (sel1[:, None, :] > 0) & g1_on & a3  # [B,1,N]
-                c2 = (sel2[:, None, :] > 0) & g2_on & a3
-                colpick = jnp.where(
-                    c2, newcol2[:, :, None], newcol1[:, :, None]
-                )
-                sm_s[s0 : s0 + w, :, :] = jnp.where(c1 | c2, colpick, sm)
                 if not parity:
                     so_s[s0 : s0 + w, :, :] = jnp.where(
                         accS, so_star, so_s[s0 : s0 + w, :, :]
@@ -1539,17 +1844,25 @@ def _fused_kernel(
             # chain row sees the same values either way.
             streams = 1
             env_streams = os.environ.get("MH_FUSED_STREAMS", "")
-            if env_streams:
+            if env_streams and not thin:
+                # the thin engine runs full-width (its identity-transpose
+                # matrices are sized to B); streams lost at every width
+                # anyway (docs/PERFORMANCE.md round-4)
                 streams = max(1, int(env_streams))
             while streams > 1 and (B % streams or (B // streams) % 8):
                 streams //= 2
             sw_ = B // streams
 
             def iter_block(t, _):
-                us_blk = draw_block()
+                us_blk = draw_block(transposed=thin)
                 base = t * unroll
                 for j in range(unroll):
                     act = base + j < it_count
+                    if thin:
+                        one_step(
+                            us_blk[j * lanes : j * lanes + lanes, :], act
+                        )
+                        continue
                     for g in range(streams):
                         one_step(
                             us_blk[
@@ -1625,9 +1938,8 @@ def _fused_runner(
     n_chains: int,
     bc: int,
     mode: CostMode,
-    defer_commit: bool,
-    gather_vpu: bool,
     rng_hw: bool,
+    thin: bool,
     incremental: bool,
     moves_per_step: int,
     adapt: bool,
@@ -1650,8 +1962,7 @@ def _fused_runner(
     kernel = functools.partial(
         _fused_kernel,
         mode=mode,
-        defer_commit=defer_commit,
-        gather_vpu=gather_vpu,
+        thin=thin,
         n=n,
         report_offlimits=True,
         incremental=incremental,
@@ -1879,17 +2190,15 @@ def _fit_key(n: int, cfg: SamplerConfig, incremental: bool,
     # every A/B env knob that changes the kernel's VMEM footprint must be
     # in the key, or a run under one knob records its (block, vmem) under
     # the key the default config loads — the same poisoning class the
-    # n_chains term above guards against (round-3 advisor finding: DEFER
-    # changes live temps, the vpu gather builds [B,M,N] tiles)
+    # n_chains term above guards against (round-3 advisor finding; e.g.
+    # the thin engine adds its identity/transposed-gather tiles)
     return (
         f"{n}:{int(incremental)}:{cfg.mode.name}:{cfg.n_moves_per_step}"
         f":{cfg.accept_draws}:{int(cfg.adapt)}:{n_chains}"
         f":{os.environ.get('MH_FUSED_UNROLL', '')}"
-        f":{os.environ.get('MH_FUSED_DEFER', '0')}"
-        f":{os.environ.get('MH_FUSED_GATHER', 'mxu')}"
         f":{os.environ.get('MH_FUSED_RNG', 'counter')}"
-        f":{os.environ.get('MH_FUSED_CLR', 'unroll')}"
         f":{os.environ.get('MH_FUSED_STREAMS', '')}"
+        f":{os.environ.get('MH_FUSED_THIN', '1')}"
         # the preferred default block is part of the key: a proven fit
         # recorded under an older block policy must not override a new
         # default (the round-4 64 -> 128 change would otherwise be
@@ -1974,23 +2283,21 @@ def _get_runner(
             f"fused kernel supports accept_draws in [1, 120], got "
             f"{cfg.accept_draws}"
         )
-    # MH_FUSED_CLR=tile forces the [B, C, N] tile path even at small
-    # clearance counts (A/B: fewer-but-wider ops vs the unrolled [B, N]
-    # plane math — the step prices op count, not element count)
-    clr_unroll = (
-        packed.n_clr_real <= CLR_UNROLL_MAX
-        and os.environ.get("MH_FUSED_CLR", "unroll") != "tile"
-    )
-    defer_commit = os.environ.get("MH_FUSED_DEFER", "0") == "1"
-    # default mxu: the VPU masked-reduction gather is bitwise-equal and
-    # avoids the 6-pass HIGHEST matmuls, but its [B,M,N] tiles blow Mosaic
-    # compile past 40 min at the headline shape (another instance of the
-    # slab-code compile pathology) — A/B only until that's understood
-    gather_vpu = os.environ.get("MH_FUSED_GATHER", "mxu") == "vpu"
+    # <= CLR_UNROLL_MAX real clearances run as unrolled [B, N] plane math
+    # (params in SMEM); larger counts use the [B, C, N] tile path. (The
+    # MH_FUSED_CLR=tile A/B override that forced the tile path at small
+    # counts measured 1.4x slower and was deleted round 5.)
+    clr_unroll = packed.n_clr_real <= CLR_UNROLL_MAX
     rng_hw = os.environ.get("MH_FUSED_RNG", "counter") == "hw"
+    # thin engine (transposed per-chain scalar chains; see _fused_kernel's
+    # t_cols/t_row helpers). Forces the counter RNG stream: the hardware
+    # per-block stream draws [B, LANE] tiles that cannot be re-oriented.
+    thin = os.environ.get("MH_FUSED_THIN", "1") == "1"
+    if thin:
+        rng_hw = False
     cache_key = (
-        n, n0, n_chains, bc, cfg.mode, incremental, defer_commit, gather_vpu,
-        rng_hw,
+        n, n0, n_chains, bc, cfg.mode, incremental,
+        rng_hw, thin,
         cfg.n_moves_per_step, cfg.adapt, cfg.accept_draws, interpret,
         clr_unroll, packed.n_clr_real, packed.clr_anchors,
         packed.rel_src_oh.shape, packed.rel_params.shape,
@@ -2005,7 +2312,8 @@ def _get_runner(
         runner = _fused_runner(
             n=n, n0=n0, n_chains=n_chains, bc=bc,
             mode=cfg.mode, incremental=incremental,
-            defer_commit=defer_commit, gather_vpu=gather_vpu, rng_hw=rng_hw,
+            rng_hw=rng_hw,
+            thin=thin,
             moves_per_step=cfg.n_moves_per_step, adapt=cfg.adapt,
             accept_draws=cfg.accept_draws,
             clr_unroll=clr_unroll, n_clr_real=packed.n_clr_real,

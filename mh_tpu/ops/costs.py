@@ -17,9 +17,17 @@ from the total ``:547``) — see :class:`mh_tpu.config.CostMode`.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
+
+# Debug-only term ablation for the XLA engines (the op-count lens that
+# cracked the fused kernel's round-4 plateau, applied to the scan path):
+# MH_XLA_SKIP=sym,rel,... zeroes those terms at trace time so
+# benchmarks/xla_ablation.py can price each term's share of the step.
+# NEVER set in production — totals become wrong by construction.
+_XLA_SKIP = os.environ.get("MH_XLA_SKIP", "")
 
 from mh_tpu.config import CostMode
 from mh_tpu.models.scene import Scene
@@ -246,21 +254,42 @@ def cost_terms(
     breakdown then reports 0 for it; callers recompute it once on the final
     pose for faithful reporting). No-op in FIXED mode.
     """
-    pw = pair_wise_costs(pose, scene)
-    pwa = pair_wise_angle_costs(pose, scene, mode)
-    if mode is CostMode.PARITY:
-        pair = scene.w_pairwise * (pw * pwa)
+    zero = jnp.float32(0.0)
+    if "rel" in _XLA_SKIP:
+        pair = zero
     else:
-        pair = scene.w_pairwise * (pw + pwa)
-    vb = scene.w_visual_balance * visual_balance_costs(pose, scene)
-    fp = scene.w_focal * focal_point_costs(pose, scene, mode)
-    sym = scene.w_symmetry * symmetry_costs(pose, scene, mode)
-    if skip_unused_offlimits and mode is CostMode.PARITY:
-        off = jnp.float32(0.0)
+        pw = pair_wise_costs(pose, scene)
+        pwa = pair_wise_angle_costs(pose, scene, mode)
+        if mode is CostMode.PARITY:
+            pair = scene.w_pairwise * (pw * pwa)
+        else:
+            pair = scene.w_pairwise * (pw + pwa)
+    vb = (
+        zero if "vb" in _XLA_SKIP
+        else scene.w_visual_balance * visual_balance_costs(pose, scene)
+    )
+    fp = (
+        zero if "fp" in _XLA_SKIP
+        else scene.w_focal * focal_point_costs(pose, scene, mode)
+    )
+    sym = (
+        zero if "sym" in _XLA_SKIP
+        else scene.w_symmetry * symmetry_costs(pose, scene, mode)
+    )
+    if (skip_unused_offlimits and mode is CostMode.PARITY) or (
+        "off" in _XLA_SKIP
+    ):
+        off = zero
     else:
         off = scene.w_offlimits * off_limits_costs(pose, scene, mode)
-    clr = scene.w_clearance * clearance_costs(pose, scene, mode)
-    sa = scene.w_surface_area * surface_area_costs(pose, scene, mode)
+    clr = (
+        zero if "clr" in _XLA_SKIP
+        else scene.w_clearance * clearance_costs(pose, scene, mode)
+    )
+    sa = (
+        zero if "sa" in _XLA_SKIP
+        else scene.w_surface_area * surface_area_costs(pose, scene, mode)
+    )
     total = pair + vb + fp + sym + clr + sa
     if mode is CostMode.FIXED:
         total = total + off

@@ -1,0 +1,73 @@
+"""Thin-engine (MH_FUSED_THIN) A/B against the wide per-chain layout.
+
+The thin engine computes the step's per-chain scalar chains (proposal
+params, rel+angle penalties, clearance outside-areas) with chains on the
+LANE axis and moves results back with exact identity-MXU dots, so its
+trajectories should be BITWISE equal to the wide layout: the counter RNG
+stream maps (chain, draw-lane) to the same bits in either orientation
+(``_uniform_sw(transposed=True)``), every elementwise op sees identical
+inputs, and the only reductions (entity sums over one 8-sublane tile)
+keep their shape. A flipped bit anywhere would flip an accept decision
+and diverge the pose trajectory, so exact pose equality is a sharp test.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from mh_tpu.config import CostMode, SamplerConfig
+from mh_tpu.kernels import fused_mh
+from mh_tpu.models.scene import demo_scene
+
+
+def _run(thin: str, mode: CostMode, n_objs=32, n_chains=8, iters=60,
+         **cfg_kw):
+    prev = os.environ.get("MH_FUSED_THIN")
+    os.environ["MH_FUSED_THIN"] = thin
+    try:
+        spec = demo_scene(n_objs)
+        scene = spec.build()
+        cfg = SamplerConfig(mode=mode, **cfg_kw)
+        pose, bd, acc, scale = fused_mh.run_chains_fused(
+            0, spec.initial_pose(), scene, cfg, n_chains, iters,
+            interpret=True,
+        )
+        return (np.asarray(pose), np.asarray(bd), np.asarray(acc),
+                np.asarray(scale))
+    finally:
+        if prev is None:
+            os.environ.pop("MH_FUSED_THIN", None)
+        else:
+            os.environ["MH_FUSED_THIN"] = prev
+
+
+@pytest.mark.parametrize("mode", [CostMode.PARITY, CostMode.FIXED])
+def test_thin_matches_wide_bitwise(mode):
+    p1, b1, a1, _ = _run("1", mode)
+    p0, b0, a0, _ = _run("0", mode)
+    np.testing.assert_array_equal(a1, a0)
+    np.testing.assert_array_equal(p1, p0)
+    # breakdown terms tolerate reduction-order ulps (the final report's
+    # thin partial sums ride a different tile orientation)
+    np.testing.assert_allclose(b1, b0, rtol=1e-5, atol=1e-4)
+
+
+def test_thin_matches_wide_adapted():
+    # adaptation exercises the t_row (column -> row) transpose of the
+    # carried log-step-scale
+    p1, b1, a1, s1 = _run("1", CostMode.FIXED, adapt=True, adapt_rate=0.05)
+    p0, b0, a0, s0 = _run("0", CostMode.FIXED, adapt=True, adapt_rate=0.05)
+    np.testing.assert_array_equal(a1, a0)
+    np.testing.assert_array_equal(p1, p0)
+    np.testing.assert_array_equal(s1, s0)
+
+
+def test_thin_accept_draws_block():
+    # accept_draws > 1 reads draw rows 8..8+K of the transposed block
+    p1, _, a1, _ = _run("1", CostMode.PARITY, accept_draws=16)
+    p0, _, a0, _ = _run("0", CostMode.PARITY, accept_draws=16)
+    np.testing.assert_array_equal(a1, a0)
+    np.testing.assert_array_equal(p1, p0)
