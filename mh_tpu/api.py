@@ -261,12 +261,16 @@ def auto_engine(
 
 
 # Measured engine crossovers in padded object lanes (docs/API.md "Engine
-# crossover" table, round-3 linearity fits, v5e, 2026-08-21): the fused
-# kernel beats the generic scan from ~104 lanes (0.111 vs 0.114 ms/step at
-# 100 objs) and the scene-specialized scan above one object tile (0.142 vs
-# 0.178 at 128 lanes; 0.203 vs 0.631 at 256).
-FUSED_CROSSOVER = 104
-SERVE_CROSSOVER = 104
+# crossover" table; round-5 thin-engine linearity fits, v5e, 1024 chains,
+# 2026-08-21). The thin fused kernel is ~flat at 0.074-0.082 ms/step up to
+# one object tile while the scans grow ~N^2: generic 0.062@64objs /
+# 0.076@80 / 0.116@100, specialized 0.038@64 / 0.089@100 — so fused now
+# wins vs the generic scan from ~84 objects (88 padded lanes) and vs the
+# scene-specialized scan from ~93 objects (96 lanes). PARITY numbers; in
+# FIXED the specialized scan narrowly holds 100 objs (0.1197 vs 0.1222) —
+# within tunnel noise, not worth a mode-dependent threshold.
+FUSED_CROSSOVER = 88
+SERVE_CROSSOVER = 96
 
 
 def _run_objsharded(scene, cfg, key, pose0, mesh2d, engine) -> LayoutResult:

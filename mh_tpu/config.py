@@ -86,6 +86,15 @@ class SamplerConfig:
     sigma_t: float = REF_SIGMA_T
     # Translation std = extent/16 (Kernel.cu:590-591); override if >0.
     sigma_xy_override: float = 0.0
+    # DECISION (deliberate deviation from SURVEY §7.3, which suggested
+    # FIXED as the user-facing default): the default stays PARITY so that
+    # out-of-the-box behavior is bit-for-bit the reference's semantics —
+    # the correctness gate, every oracle test, and the posterior-parity
+    # suite anchor on it, and a user migrating from the reference gets
+    # identical sampling behavior without reading docs. FIXED (sane
+    # aggregation: PairWise+Angle sum, OffLimits in the total, corrected
+    # AABB/anchor indexing) is one flag away and is what docs/API.md
+    # recommends for NEW scenes; see docs/API.md "Cost modes".
     mode: CostMode = CostMode.PARITY
     # Step-size adaptation (off by default == reference behavior).
     adapt: bool = False
