@@ -94,7 +94,8 @@ _BC_FLOOR = 8
 
 
 def fused_vmem_estimate(
-    bc: int, n: int, incremental: bool = True, fixed: bool = False
+    bc: int, n: int, incremental: bool = True, fixed: bool = False,
+    slab_w: int = 8,
 ) -> int:
     """Estimated scoped-VMEM bytes for one grid step of the fused kernel.
 
@@ -109,7 +110,8 @@ def fused_vmem_estimate(
     runtime retry in ``_call_fused_protected`` catches what the model
     misses.
     """
-    scratch_words = bc * (6 * n + LANE + (n * n) // 4)
+    # the two slab states are [bc, n/slab_w, n] each
+    scratch_words = bc * (6 * n + LANE + 2 * (n * n) // slab_w)
     q = 14 if incremental else 48
     if fixed:
         # FIXED mode carries the off-limits pair-sum state updates
@@ -123,17 +125,18 @@ def fused_vmem_estimate(
 
 
 def _fit_block_and_vmem(
-    bc: int, n: int, vmem: int, incremental: bool = True, fixed: bool = False
+    bc: int, n: int, vmem: int, incremental: bool = True, fixed: bool = False,
+    slab_w: int = 8,
 ) -> tuple[int, int]:
     """Shrink ``bc`` (then raise ``vmem``) until the estimate fits."""
     while (
         bc > _BC_FLOOR
-        and fused_vmem_estimate(bc, n, incremental, fixed) > 0.92 * vmem
+        and fused_vmem_estimate(bc, n, incremental, fixed, slab_w) > 0.92 * vmem
     ):
         bc //= 2
-    if fused_vmem_estimate(bc, n, incremental, fixed) > 0.92 * vmem:
+    if fused_vmem_estimate(bc, n, incremental, fixed, slab_w) > 0.92 * vmem:
         vmem = min(
-            int(fused_vmem_estimate(bc, n, incremental, fixed) / 0.85),
+            int(fused_vmem_estimate(bc, n, incremental, fixed, slab_w) / 0.85),
             MAX_VMEM,
         )
     return bc, vmem
@@ -413,6 +416,7 @@ def _fused_kernel(
     accept_draws: int = 1,
     rng_hw: bool = False,
     thin: bool = False,
+    slab_w: int = 8,
 ):
     B = pose_ref.shape[1]
     pi = mode.pi
@@ -1041,7 +1045,15 @@ def _fused_kernel(
     # (candidate k's column group, all i) and lane k (reflection k's row,
     # all s) change: O(N) work instead of the O(N^2) full matrix. Exact —
     # recomputed cells reuse sym_val and are bitwise equal to a full eval.
-    S = n // 8
+    #
+    # ``slab_w`` (MH_FUSED_SLABW) sets candidates per slab: wider slabs
+    # shrink the carried [B, S, N] state (fewer sublanes per pass) but
+    # widen the per-step [B, 2W, N] row eval. PARITY trajectories are
+    # W-invariant bitwise (slab maxima re-partition an order-insensitive
+    # max); FIXED pair-sum cells re-partition a sum, so W changes FIXED
+    # trajectories by reduction order.
+    W = slab_w
+    S = n // W
     iota_s3 = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
 
     def accept_mask_S(acc_b):
@@ -1056,10 +1068,10 @@ def _fused_kernel(
         2026-08-21). Do not "simplify" to ``acc_b[:, :, None]``.
         """
         return acc_b[:, :, None] & (iota_s3 >= 0)
-    iota_g3 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+    iota_g3 = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
     iota_j3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
     slab_mask3 = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, S, n), 2) // 8
+        jax.lax.broadcasted_iota(jnp.int32, (1, S, n), 2) // W
         == jax.lax.broadcasted_iota(jnp.int32, (1, S, n), 1)
     )
     mask3j = mask.reshape(1, 1, n)
@@ -1067,51 +1079,52 @@ def _fused_kernel(
     def slab_row_max(slab_i3, x_st, y_st, rot_st, rx_st, ry_st, rrot_st):
         """max_{j in slab} val[i, j] for all rows i — [B, N].
 
-        ``slab_i3``: i32 scalar or [B,1,1] slab index. Gathers the slab's 8
-        candidate columns with an iota one-hot and evaluates an 8-sublane
-        [B, 8, N] tile.
+        ``slab_i3``: i32 scalar or [B,1,1] slab index. Gathers the slab's
+        W candidate columns with an iota one-hot and evaluates a W-sublane
+        [B, W, N] tile.
         """
-        candsel = ((iota_g3 + slab_i3 * 8) == iota_j3).astype(jnp.float32)
-        cx = jnp.sum(candsel * x_st[:, None, :], axis=2)  # [B,8]
+        candsel = ((iota_g3 + slab_i3 * W) == iota_j3).astype(jnp.float32)
+        cx = jnp.sum(candsel * x_st[:, None, :], axis=2)  # [B,W]
         cy = jnp.sum(candsel * y_st[:, None, :], axis=2)
         cr = jnp.sum(candsel * rot_st[:, None, :], axis=2)
         cmsk = jnp.sum(candsel * mask3j, axis=2)
         vs = sym_val(
             cx[:, :, None], cy[:, :, None], cr[:, :, None],
             rx_st[:, None, :], ry_st[:, None, :], rrot_st[:, None, :],
-        )  # [B, 8, N]
+        )  # [B, W, N]
         vs = jnp.where(cmsk[:, :, None] > 0, vs, _NEG_HUGE)
         return jnp.max(vs, axis=1)  # [B, N]
 
-    iota_g16 = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
+    iota_g16 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * W, 1), 1)
 
     def dual_slab_row_max(s1_i3, s2_i3, x_st, y_st, rot_st, rx_st, ry_st,
                           rrot_st):
-        """Both fresh slab rows in ONE [B,16,N] evaluation — [B,N] x 2.
+        """Both fresh slab rows in ONE [B,2W,N] evaluation — [B,N] x 2.
 
         Same element count as two ``slab_row_max`` calls but half the op
         issues (candsel build, 4 gather reductions, sym_val): the kernel is
         issue-bound, so wider tiles at equal element volume are ~free.
-        Slots 0-7 gather slab ``s1``'s candidates, 8-15 slab ``s2``'s; the
-        halves reduce separately, so each row is bitwise-equal to its
-        single-slab evaluation (max is order-insensitive).
+        Slots 0..W-1 gather slab ``s1``'s candidates, W..2W-1 slab
+        ``s2``'s; the halves reduce separately, so each row is
+        bitwise-equal to its single-slab evaluation (max is
+        order-insensitive).
         """
         gidx = jnp.where(
-            iota_g16 < 8,
-            s1_i3 * 8 + iota_g16,
-            s2_i3 * 8 + (iota_g16 - 8),
-        )  # [B,16,1]
-        candsel = (gidx == iota_j3).astype(jnp.float32)  # [B,16,N]
-        cx = jnp.sum(candsel * x_st[:, None, :], axis=2)  # [B,16]
+            iota_g16 < W,
+            s1_i3 * W + iota_g16,
+            s2_i3 * W + (iota_g16 - W),
+        )  # [B,2W,1]
+        candsel = (gidx == iota_j3).astype(jnp.float32)  # [B,2W,N]
+        cx = jnp.sum(candsel * x_st[:, None, :], axis=2)  # [B,2W]
         cy = jnp.sum(candsel * y_st[:, None, :], axis=2)
         cr = jnp.sum(candsel * rot_st[:, None, :], axis=2)
         cmsk = jnp.sum(candsel * mask3j, axis=2)
         vs = sym_val(
             cx[:, :, None], cy[:, :, None], cr[:, :, None],
             rx_st[:, None, :], ry_st[:, None, :], rrot_st[:, None, :],
-        )  # [B,16,N]
+        )  # [B,2W,N]
         vs = jnp.where(cmsk[:, :, None] > 0, vs, _NEG_HUGE)
-        half1 = iota_g16 < 8
+        half1 = iota_g16 < W
         row1 = jnp.max(jnp.where(half1, vs, _NEG_HUGE), axis=1)
         row2 = jnp.max(jnp.where(half1, _NEG_HUGE, vs), axis=1)
         return row1, row2
@@ -1137,12 +1150,14 @@ def _fused_kernel(
 
         Replaces the [B, N, N] one-shot evaluation in the final report so
         the kernel's VMEM watermark stays O(B*N) and large chain blocks
-        fit. Same masking/triangular semantics as ``costs_of``.
+        fit. Same masking/triangular semantics as ``costs_of``. Fixed
+        8-row chunks — independent of the slab width ``W``.
         """
         omnx, omny, omxx, omxy = obj_aabbs(x, y)  # [B, N]
+        iota_c3 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
 
         def chunk(c, acc):
-            rowsel = ((iota_g3 + 8 * c) == iota_j3).astype(jnp.float32)
+            rowsel = ((iota_c3 + 8 * c) == iota_j3).astype(jnp.float32)
 
             def gath(p):
                 return jnp.sum(rowsel * p[:, None, :], axis=2)  # [B,8]
@@ -1154,13 +1169,13 @@ def _fused_kernel(
                 omnx[:, None, :], omny[:, None, :],
                 omxx[:, None, :], omxy[:, None, :],
             )  # [B, 8, N]
-            tri = (iota_j3 > (iota_g3 + 8 * c)).astype(jnp.float32)  # j > i
+            tri = (iota_j3 > (iota_c3 + 8 * c)).astype(jnp.float32)  # j > i
             contrib = ar * tri * mask3j * rmask[:, :, None]
             rowsum = jnp.sum(contrib, axis=2)  # [B, 8]
             return acc - jnp.sum(rowsum[:, :, None], axis=1)  # [B, 1]
 
         return jax.lax.fori_loop(
-            0, S, chunk, jnp.zeros((x.shape[0], 1), jnp.float32)
+            0, n // 8, chunk, jnp.zeros((x.shape[0], 1), jnp.float32)
         )
 
     # ---- incremental off-limits (FIXED mode): per-slab pair sums ---------
@@ -1174,7 +1189,7 @@ def _fused_kernel(
     # order-insensitive maxima are.)
     def off_slab_row(slab_i3, omnx, omny, omxx, omxy):
         """sum_{j in slab, j>i} area(i, j) for all rows i — [B, N]."""
-        candsel = ((iota_g3 + slab_i3 * 8) == iota_j3).astype(jnp.float32)
+        candsel = ((iota_g3 + slab_i3 * W) == iota_j3).astype(jnp.float32)
 
         def gath(p):
             return jnp.sum(candsel * p[:, None, :], axis=2)  # [B,8]
@@ -1186,7 +1201,7 @@ def _fused_kernel(
             omnx[:, None, :], omny[:, None, :],
             omxx[:, None, :], omxy[:, None, :],
         )  # [B, 8, N] — slab candidate g (as j) vs every i (lanes)
-        tri = ((iota_g3 + slab_i3 * 8) > iota_j3).astype(jnp.float32)  # j > i
+        tri = ((iota_g3 + slab_i3 * W) > iota_j3).astype(jnp.float32)  # j > i
         return jnp.sum(ar * tri * cmsk[:, :, None], axis=1)  # [B, N]
 
     def off_state_init(x, y):
@@ -1209,7 +1224,7 @@ def _fused_kernel(
         """Fold moved object `sel` into the off-limits pair-sum state."""
         kf = jnp.sum(sel * iota_n, axis=1, keepdims=True)
         k_i = kf.astype(jnp.int32)[:, :, None]  # [B,1,1]
-        slab_i = k_i // 8
+        slab_i = k_i // W
         g_on = gate_b[:, :, None] > 0
 
         omnx, omny, omxx, omxy = obj_aabbs(x_st, y_st)
@@ -1241,9 +1256,9 @@ def _fused_kernel(
         masked sum covers the same 8 candidates).
         """
         gidx = jnp.where(
-            iota_g16 < 8,
-            s1_i3 * 8 + iota_g16,
-            s2_i3 * 8 + (iota_g16 - 8),
+            iota_g16 < W,
+            s1_i3 * W + iota_g16,
+            s2_i3 * W + (iota_g16 - W),
         )  # [B,16,1]
         candsel = (gidx == iota_j3).astype(jnp.float32)  # [B,16,N]
 
@@ -1259,7 +1274,7 @@ def _fused_kernel(
         )  # [B,16,N] — candidate g (as j) vs every i (lanes)
         tri = (gidx > iota_j3).astype(jnp.float32)  # j > i
         contrib = ar * tri * cmsk[:, :, None]
-        half1 = iota_g16 < 8
+        half1 = iota_g16 < W
         row1 = jnp.sum(jnp.where(half1, contrib, 0.0), axis=1)  # [B,N]
         row2 = jnp.sum(jnp.where(half1, 0.0, contrib), axis=1)
         return row1, row2
@@ -1319,7 +1334,7 @@ def _fused_kernel(
         swap object on non-swap moves). All inputs are the *star* pose.
         """
         kf = jnp.sum(sel * iota_n, axis=1, keepdims=True)  # [B,1] f32 index
-        slab_i = kf.astype(jnp.int32)[:, :, None] // 8  # [B,1,1]
+        slab_i = kf.astype(jnp.int32)[:, :, None] // W  # [B,1,1]
         g_on = gate_b[:, :, None] > 0
 
         # candidate column k changed -> recompute slab row s(k) for all i
@@ -1533,12 +1548,13 @@ def _fused_kernel(
             return 0
 
         def one_step(us, active, s0=0, w=None):
-            """One MH iteration driven by a pre-drawn lane block ``us``
-            ([w, 8] for accept_draws == 1, [w, 8+K] otherwise). The caller
-            amortizes one on-chip [B, LANE] PRNG draw over LANE//lanes
-            steps via static lane slices — the per-iteration random-bit
-            volume was ~14% of the headline step time when drawn per step
-            (MH_FUSED_SKIP=rng ablation, 2026-08-20).
+            """One MH iteration driven by a pre-drawn random block ``us``
+            — [w, lanes] wide layout, or TRANSPOSED [lanes, w] under the
+            thin engine (lanes = 8, or 8 + K for accept_draws == K). The
+            caller amortizes one [B, LANE]-sized counter draw over
+            LANE//lanes steps via static slices — the per-iteration
+            random-bit volume was ~14% of the headline step time when
+            drawn per step (MH_FUSED_SKIP=rng ablation, 2026-08-20).
 
             ``active`` (traced scalar bool) gates acceptance: the dynamic
             iteration count rounds up to whole draw blocks, and the tail
@@ -1689,10 +1705,10 @@ def _fused_kernel(
                 rx_st, ry_st, rrot_st = reflections(x_star, y_star, rot_star)
                 s1_i = (
                     jnp.sum(sel1 * iota_n, axis=1, keepdims=True)
-                ).astype(jnp.int32)[:, :, None] // 8  # [w,1,1]
+                ).astype(jnp.int32)[:, :, None] // W  # [w,1,1]
                 s2_i = (
                     jnp.sum(sel2 * iota_n, axis=1, keepdims=True)
-                ).astype(jnp.int32)[:, :, None] // 8
+                ).astype(jnp.int32)[:, :, None] // W
                 g1_on = gate1[:, :, None] > 0  # [w,1,1]
                 g2_on = sw[:, :, None] > 0
                 row1, row2 = dual_slab_row_max(
@@ -1917,8 +1933,8 @@ def _fused_kernel(
         scratch_body,
         p_s=pltpu.VMEM((6, B, n), jnp.float32),
         cur_s=pltpu.VMEM((B, LANE), jnp.float32),
-        sm_s=pltpu.VMEM((B, n // 8, n), jnp.float32),
-        so_s=pltpu.VMEM((B, n // 8, n), jnp.float32),
+        sm_s=pltpu.VMEM((B, n // slab_w, n), jnp.float32),
+        so_s=pltpu.VMEM((B, n // slab_w, n), jnp.float32),
         cnt_s=pltpu.SMEM((1,), jnp.int32),
     )
 
@@ -1940,6 +1956,7 @@ def _fused_runner(
     mode: CostMode,
     rng_hw: bool,
     thin: bool,
+    slab_w: int,
     incremental: bool,
     moves_per_step: int,
     adapt: bool,
@@ -1963,6 +1980,7 @@ def _fused_runner(
         _fused_kernel,
         mode=mode,
         thin=thin,
+        slab_w=slab_w,
         n=n,
         report_offlimits=True,
         incremental=incremental,
@@ -2199,6 +2217,7 @@ def _fit_key(n: int, cfg: SamplerConfig, incremental: bool,
         f":{os.environ.get('MH_FUSED_RNG', 'counter')}"
         f":{os.environ.get('MH_FUSED_STREAMS', '')}"
         f":{os.environ.get('MH_FUSED_THIN', '1')}"
+        f":{os.environ.get('MH_FUSED_SLABW', '8')}"
         # the preferred default block is part of the key: a proven fit
         # recorded under an older block policy must not override a new
         # default (the round-4 64 -> 128 change would otherwise be
@@ -2251,6 +2270,13 @@ def _get_runner(
     packed = pack_scene(scene, cfg)
     n = packed.n
     n0 = scene.n_pad_objs
+    # slab width for the incremental states (A/B; see _fused_kernel).
+    # 16 measured 27% SLOWER than 8 at the headline shape (the [B,2W,N]
+    # row eval's doubled volume beats the halved state passes) and 32
+    # additionally fails Mosaic compile — 8 is the only production value.
+    slab_w = int(os.environ.get("MH_FUSED_SLABW", "8"))
+    if slab_w not in (8, 16) or n % slab_w:
+        raise ValueError(f"MH_FUSED_SLABW={slab_w} invalid for n={n}")
     vmem = vmem_override or int(os.environ.get("MH_FUSED_VMEM", DEFAULT_VMEM))
     if bc_override:
         bc = bc_override
@@ -2267,11 +2293,14 @@ def _get_runner(
                 # raise the scoped-VMEM request so the preferred block
                 # fits the sizing model (bounded; round-4 B=128 default)
                 need = int(
-                    fused_vmem_estimate(bc, n, incremental, is_fixed) / 0.85
+                    fused_vmem_estimate(bc, n, incremental, is_fixed, slab_w)
+                    / 0.85
                 )
                 if vmem < need <= PREF_VMEM_CAP:
                     vmem = need
-            bc, vmem = _fit_block_and_vmem(bc, n, vmem, incremental, is_fixed)
+            bc, vmem = _fit_block_and_vmem(
+                bc, n, vmem, incremental, is_fixed, slab_w
+            )
     while bc > _BC_FLOOR and n_chains % bc:
         bc //= 2
     bc = min(bc, n_chains)
@@ -2297,7 +2326,7 @@ def _get_runner(
         rng_hw = False
     cache_key = (
         n, n0, n_chains, bc, cfg.mode, incremental,
-        rng_hw, thin,
+        rng_hw, thin, slab_w,
         cfg.n_moves_per_step, cfg.adapt, cfg.accept_draws, interpret,
         clr_unroll, packed.n_clr_real, packed.clr_anchors,
         packed.rel_src_oh.shape, packed.rel_params.shape,
@@ -2313,7 +2342,7 @@ def _get_runner(
             n=n, n0=n0, n_chains=n_chains, bc=bc,
             mode=cfg.mode, incremental=incremental,
             rng_hw=rng_hw,
-            thin=thin,
+            thin=thin, slab_w=slab_w,
             moves_per_step=cfg.n_moves_per_step, adapt=cfg.adapt,
             accept_draws=cfg.accept_draws,
             clr_unroll=clr_unroll, n_clr_real=packed.n_clr_real,

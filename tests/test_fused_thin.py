@@ -65,6 +65,24 @@ def test_thin_matches_wide_adapted():
     np.testing.assert_array_equal(s1, s0)
 
 
+def test_slab_width_parity_invariant_bitwise():
+    # slab maxima re-partition an order-insensitive max, so PARITY
+    # trajectories must be bitwise W-invariant (MH_FUSED_SLABW A/B knob;
+    # W=16 measured slower on TPU — this pins correctness, not speed)
+    prev = os.environ.get("MH_FUSED_SLABW")
+    try:
+        os.environ["MH_FUSED_SLABW"] = "16"
+        p16, _, a16, _ = _run("1", CostMode.PARITY, iters=40)
+    finally:
+        if prev is None:
+            os.environ.pop("MH_FUSED_SLABW", None)
+        else:
+            os.environ["MH_FUSED_SLABW"] = prev
+    p8, _, a8, _ = _run("1", CostMode.PARITY, iters=40)
+    np.testing.assert_array_equal(a16, a8)
+    np.testing.assert_array_equal(p16, p8)
+
+
 def test_thin_accept_draws_block():
     # accept_draws > 1 reads draw rows 8..8+K of the transposed block
     p1, _, a1, _ = _run("1", CostMode.PARITY, accept_draws=16)
