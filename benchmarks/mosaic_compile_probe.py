@@ -11,11 +11,12 @@ so a matrix of env knobs can be swept from a driver shell loop:
   done
 
 Knobs of interest: MH_FUSED_UNROLL (inner draw-block unroll = single-
-basic-block size), MH_FUSED_DEFER (live values across the accept
-boundary), MH_FUSED_BLOCK (vreg footprint per op), MH_FUSED_GATHER
-(tile shapes). The working hypothesis: compile time scales with
-(unrolled block length) x (live vreg set), i.e. register-allocation
-search, not with op count per se.
+basic-block size), MH_FUSED_BLOCK (vreg footprint per op),
+MH_FUSED_THIN / MH_FUSED_SLABW (tile shapes; the DEFER/GATHER knobs the
+round-3 sweep also probed were deleted in round 5 after losing every
+measurement). Confirmed hypothesis: compile time scales with (unrolled
+block length) x (live vreg set), i.e. register-allocation search, not
+with op count per se.
 
 A fresh process per probe is required — the in-process runner cache and
 the jit cache would otherwise hide the compile. The persistent JAX
@@ -66,10 +67,10 @@ def main() -> None:
         "compile_s": round(compile_s, 1),
         "objs": n_objs,
         "chains": n_chains,
-        "unroll": os.environ.get("MH_FUSED_UNROLL", "16(default)"),
-        "defer": os.environ.get("MH_FUSED_DEFER", "0"),
+        "unroll": os.environ.get("MH_FUSED_UNROLL", "(default)"),
         "block": os.environ.get("MH_FUSED_BLOCK", "auto"),
-        "gather": os.environ.get("MH_FUSED_GATHER", "mxu"),
+        "thin": os.environ.get("MH_FUSED_THIN", "1"),
+        "slabw": os.environ.get("MH_FUSED_SLABW", "8"),
         "skip": os.environ.get("MH_FUSED_SKIP", ""),
     }))
 
