@@ -65,6 +65,43 @@ def test_thin_matches_wide_adapted():
     np.testing.assert_array_equal(s1, s0)
 
 
+@pytest.mark.parametrize("mode", [CostMode.PARITY, CostMode.FIXED])
+def test_thin_matches_wide_many_entities(mode):
+    # > 8 relationships/angles and > CLR_UNROLL_MAX clearances pad the
+    # entity sections to 16 rows and route clearances down the [w,Cp,N]
+    # tile path — exercises the thin engine's multi-sublane-block row
+    # slices of the transposed gather
+    import dataclasses
+
+    spec = demo_scene(24)
+    rels = [(i, (i + 3) % 24, 2.0, 9.0) for i in range(10)]
+    angs = [(i, (i + 5) % 24, 0.5, 2.5) for i in range(9)]
+    clrs = list(spec.clearances) * 3  # 6 clearances > CLR_UNROLL_MAX
+    spec = dataclasses.replace(
+        spec, relationships=rels, angle_relationships=angs, clearances=clrs
+    )
+    outs = {}
+    for thin in ("1", "0"):
+        prev = os.environ.get("MH_FUSED_THIN")
+        os.environ["MH_FUSED_THIN"] = thin
+        try:
+            scene = spec.build()
+            cfg = SamplerConfig(mode=mode)
+            pose, bd, acc, _ = fused_mh.run_chains_fused(
+                0, spec.initial_pose(), scene, cfg, 8, 40, interpret=True
+            )
+            outs[thin] = (np.asarray(pose), np.asarray(acc), np.asarray(bd))
+        finally:
+            if prev is None:
+                os.environ.pop("MH_FUSED_THIN", None)
+            else:
+                os.environ["MH_FUSED_THIN"] = prev
+    np.testing.assert_array_equal(outs["1"][1], outs["0"][1])
+    np.testing.assert_array_equal(outs["1"][0], outs["0"][0])
+    np.testing.assert_allclose(outs["1"][2], outs["0"][2], rtol=1e-5,
+                               atol=1e-4)
+
+
 def test_slab_width_parity_invariant_bitwise():
     # slab maxima re-partition an order-insensitive max, so PARITY
     # trajectories must be bitwise W-invariant (MH_FUSED_SLABW A/B knob;
