@@ -417,10 +417,18 @@ def _fused_kernel(
     rng_hw: bool = False,
     thin: bool = False,
     slab_w: int = 8,
+    track_off: bool = True,
 ):
     B = pose_ref.shape[1]
     pi = mode.pi
     parity = mode is CostMode.PARITY
+    # FIXED-mode off-limits state is tracked only when the scene actually
+    # weights the term: with w_offlimits == 0 (e.g. the demo harness —
+    # the reference leaves WeightOffLimits uninitialized, Kernel.cu:1014)
+    # the weighted term is identically 0 and skipping its whole slab-sum
+    # machinery is exact. The final report still evaluates the unweighted
+    # overlap via off_limits_chunked.
+    track_off = track_off and not parity
 
     # Default stream: counter-based per GLOBAL chain (seed_ref[2] is the
     # device's first-chain offset on sharded meshes) — invariant to the
@@ -685,14 +693,23 @@ def _fused_kernel(
         # (each 6 passes); the rot rows only contribute the angle-target
         # columns but the extra MXU flops are free (the MXU is idle).
         # Row-slicing [3B, M] at multiples of B keeps sublane alignment.
-        # The thin engine gathers TRANSPOSED ([M, 3B] — entities on
-        # sublanes, chains on lanes) so the entity math that follows runs
-        # on [E, B] tiles (1 vreg at B = 128) instead of [B, E] tiles
-        # (16 vregs each, ~96% dead lanes).
-        xyr = jnp.concatenate([x, y, rot], axis=0)  # [3B, N]
+        # The thin engine gathers TRANSPOSED ([M, bw] per pose plane —
+        # entities on sublanes, chains on lanes) so the entity math that
+        # follows runs on [E, B] tiles (1 vreg at B = 128) instead of
+        # [B, E] tiles (16 vregs each, ~96% dead lanes). THREE separate
+        # dots on purpose: a stacked [M, 3bw] output's per-plane column
+        # slices sit at lane offset bw, and when bw is not a whole vreg
+        # (small chain blocks, e.g. 8-chain tests) Mosaic rejects
+        # concatenating those tiles downstream ("result/input offset
+        # mismatch on non-concat dimension"); per-plane outputs keep
+        # every slice at lane offset 0. The extra MXU dispatches are
+        # noise next to the VPU savings.
         if thin:
-            g_t = gather_t(gmat_h, xyr)  # [M, 3B]
+            g_tx = gather_t(gmat_h, x)  # [M, bw]
+            g_ty = gather_t(gmat_h, y)
+            g_tr = gather_t(gmat_h, rot)
         else:
+            xyr = jnp.concatenate([x, y, rot], axis=0)  # [3B, N]
             g_all3 = onehot_gather(xyr, gmat_h)  # [3B, M]
             gx_all = jax.lax.slice_in_dim(g_all3, 0, bw, axis=0)
             gy_all = jax.lax.slice_in_dim(g_all3, bw, 2 * bw, axis=0)
@@ -716,10 +733,10 @@ def _fused_kernel(
                 pair_t = jnp.zeros((1, bw), jnp.float32)
             else:
                 a0 = 2 * r_cnt
-                sx = g_t[0:r_cnt, 0:bw]
-                sy_ = g_t[0:r_cnt, bw : 2 * bw]
-                tx = g_t[r_cnt : 2 * r_cnt, 0:bw]
-                ty = g_t[r_cnt : 2 * r_cnt, bw : 2 * bw]
+                sx = g_tx[0:r_cnt, :]
+                sy_ = g_ty[0:r_cnt, :]
+                tx = g_tx[r_cnt : 2 * r_cnt, :]
+                ty = g_ty[r_cnt : 2 * r_cnt, :]
                 d = jnp.sqrt(jnp.square(sx - tx) + jnp.square(sy_ - ty))
                 lo_safe = jnp.where(lo_c > 0, lo_c, 1.0)
                 d_safe = jnp.where(d > 0, d, 1.0)
@@ -728,11 +745,11 @@ def _fused_kernel(
                     jnp.where(d > hi_c, -jnp.square(hi_c / d_safe), 0.0),
                 )
                 pw_t = jnp.sum((pen * rm_c)[None, :, :], axis=1)  # [1,bw]
-                asx = g_t[a0 : a0 + a_cnt, 0:bw]
-                asy = g_t[a0 : a0 + a_cnt, bw : 2 * bw]
-                atx = g_t[a0 + a_cnt : a0 + 2 * a_cnt, 0:bw]
-                aty = g_t[a0 + a_cnt : a0 + 2 * a_cnt, bw : 2 * bw]
-                atr = g_t[a0 + a_cnt : a0 + 2 * a_cnt, 2 * bw : 3 * bw]
+                asx = g_tx[a0 : a0 + a_cnt, :]
+                asy = g_ty[a0 : a0 + a_cnt, :]
+                atx = g_tx[a0 + a_cnt : a0 + 2 * a_cnt, :]
+                aty = g_ty[a0 + a_cnt : a0 + 2 * a_cnt, :]
+                atr = g_tr[a0 + a_cnt : a0 + 2 * a_cnt, :]
                 th = theta_fn(asx, asy, atx, aty, atr)
                 dev = jnp.minimum(jnp.abs(th - amin_c), jnp.abs(th - amax_c))
                 wrap_case = amin_c > amax_c
@@ -755,15 +772,15 @@ def _fused_kernel(
                 pair_t = pw_t * pwa_t if parity else pw_t + pwa_t
 
             # clearance anchors + surface-area outside areas, [Cp, bw]
-            cax_t = g_t[_clr_off : _clr_off + c_cnt_s, 0:bw]
-            cay_t = g_t[_clr_off : _clr_off + c_cnt_s, bw : 2 * bw]
+            cax_t = g_tx[_clr_off : _clr_off + c_cnt_s, :]
+            cay_t = g_ty[_clr_off : _clr_off + c_cnt_s, :]
             if 'clr' in _DEBUG_SKIP:
                 sa_clr_t = jnp.zeros((1, bw), jnp.float32)
             else:
                 if parity:
                     aoff = _clr_off + c_cnt_s
-                    pax_t = g_t[aoff : aoff + c_cnt_s, 0:bw]
-                    pay_t = g_t[aoff : aoff + c_cnt_s, bw : 2 * bw]
+                    pax_t = g_tx[aoff : aoff + c_cnt_s, :]
+                    pay_t = g_ty[aoff : aoff + c_cnt_s, :]
                 else:
                     pax_t, pay_t = cax_t, cay_t
                 sa_mat_t = outside_area(
@@ -1399,7 +1416,7 @@ def _fused_kernel(
             total0 = t_other + w_sy * sym_from_sm(sm_s[:, :, :])
         else:
             total0, _ = costs_of(x0, y0, rot0, False)
-        if not parity:
+        if track_off:
             if incremental:
                 so_s[:, :, :] = off_state_init(x0, y0)
                 off0 = off_from_so(so_s[:, :, :])
@@ -1442,7 +1459,7 @@ def _fused_kernel(
             carry0 = (x, y, rot, p_s[2, :, :], p_s[3, :, :], p_s[5, :, :])
             if incremental:
                 carry0 = (*carry0, sm_s[:, :, :])
-                if not parity:
+                if track_off:
                     carry0 = (*carry0, so_s[:, :, :])
 
             def move_body(_m, carry):
@@ -1496,7 +1513,7 @@ def _fused_kernel(
                         sm, sel2, x_n, y_n, rot_n, rx_n, ry_n, rr_n, sw
                     )
                     out = (*out, sm)
-                    if not parity:
+                    if track_off:
                         so = carry[7]
                         so = so_update(so, sel1, x_n, y_n, gate1)
                         so = so_update(so, sel2, x_n, y_n, sw)
@@ -1514,7 +1531,7 @@ def _fused_kernel(
                 total_star = t_other + w_sy * sym_from_sm(sm_star)
             else:
                 total_star, _ = costs_of(x_star, y_star, rot_star, False)
-            if not parity:
+            if track_off:
                 if incremental:
                     so_star = carry[7]
                     off_star = off_from_so(so_star)
@@ -1537,7 +1554,7 @@ def _fused_kernel(
             if incremental:
                 accS_m = accept_mask_S(acc_b)
                 sm_s[:, :, :] = jnp.where(accS_m, sm_star, sm_s[:, :, :])
-                if not parity:
+                if track_off:
                     so_s[:, :, :] = jnp.where(accS_m, so_star, so_s[:, :, :])
             cur_s[:, 0:1] = jnp.where(acc_b, total_star, cur)
             cur_s[:, 1:2] = cur_s[:, 1:2] + acc
@@ -1696,7 +1713,7 @@ def _fused_kernel(
             rot_star = star[4]
 
             gate1 = jnp.full((w, 1), 1.0, jnp.float32) * gate
-            ab_star = obj_aabbs(x_star, y_star) if not parity else None
+            ab_star = obj_aabbs(x_star, y_star) if track_off else None
             if incremental:
                 # shared symmetry prelude for both commit variants: one
                 # [B,16,N] dual-slab row eval, and BOTH moved lanes' value
@@ -1783,7 +1800,7 @@ def _fused_kernel(
                 total_star, _ = costs_of(
                     x_star, y_star, rot_star, False, aabbs=ab_star
                 )
-            if not parity:
+            if track_off:
                 if incremental:
                     # batched dual update (one [w,16,N] row eval + one
                     # [w,2S,N] stacked column sum) — FIXED alone pays the
@@ -1815,7 +1832,7 @@ def _fused_kernel(
                 sm_s[s0 : s0 + w, :, :] = jnp.where(
                     accS, sm_star, sm_s[s0 : s0 + w, :, :]
                 )
-                if not parity:
+                if track_off:
                     so_s[s0 : s0 + w, :, :] = jnp.where(
                         accS, so_star, so_s[s0 : s0 + w, :, :]
                     )
@@ -1957,6 +1974,7 @@ def _fused_runner(
     rng_hw: bool,
     thin: bool,
     slab_w: int,
+    track_off: bool,
     incremental: bool,
     moves_per_step: int,
     adapt: bool,
@@ -1981,6 +1999,7 @@ def _fused_runner(
         mode=mode,
         thin=thin,
         slab_w=slab_w,
+        track_off=track_off,
         n=n,
         report_offlimits=True,
         incremental=incremental,
@@ -2117,6 +2136,13 @@ def _is_vmem_oom(e: Exception) -> bool:
     )
 
 
+def _scene_track_off(scene: Scene, cfg: SamplerConfig) -> bool:
+    """FIXED-mode off-limits state is compiled in iff the scene weights it."""
+    return cfg.mode is not CostMode.PARITY and bool(
+        abs(float(np.asarray(scene.w_offlimits))) > 0.0
+    )
+
+
 def _resolve_incremental(incremental: bool | None) -> bool:
     if incremental is None:
         incremental = os.environ.get("MH_FUSED_INCREMENTAL", "1") != "0"
@@ -2167,7 +2193,8 @@ def _call_fused_protected(
             and "MH_FUSED_BLOCK" not in os.environ
             and "MH_FUSED_VMEM" not in os.environ
         ):
-            _record_fit(packed.n, cfg, incremental, n_chains, bc, vmem)
+            _record_fit(packed.n, cfg, incremental, n_chains, bc, vmem,
+                        _scene_track_off(scene, cfg))
         return out
 
 
@@ -2200,7 +2227,7 @@ _FIT_LOADED = False
 
 
 def _fit_key(n: int, cfg: SamplerConfig, incremental: bool,
-             n_chains: int) -> str:
+             n_chains: int, track_off: bool = True) -> str:
     # n_chains is part of the key: the chain block is clamped to the chain
     # count, so a small run (e.g. an 8-chain test at the same padded scene
     # size) must not record its tiny block as "proven" for a 1024-chain
@@ -2211,7 +2238,8 @@ def _fit_key(n: int, cfg: SamplerConfig, incremental: bool,
     # n_chains term above guards against (round-3 advisor finding; e.g.
     # the thin engine adds its identity/transposed-gather tiles)
     return (
-        f"{n}:{int(incremental)}:{cfg.mode.name}:{cfg.n_moves_per_step}"
+        f"{n}:{int(incremental)}:{cfg.mode.name}:{int(track_off)}"
+        f":{cfg.n_moves_per_step}"
         f":{cfg.accept_draws}:{int(cfg.adapt)}:{n_chains}"
         f":{os.environ.get('MH_FUSED_UNROLL', '')}"
         f":{os.environ.get('MH_FUSED_RNG', 'counter')}"
@@ -2241,8 +2269,9 @@ def _load_fits() -> None:
 
 
 def _record_fit(n: int, cfg: SamplerConfig, incremental: bool,
-                n_chains: int, bc: int, vmem: int) -> None:
-    key = _fit_key(n, cfg, incremental, n_chains)
+                n_chains: int, bc: int, vmem: int,
+                track_off: bool = True) -> None:
+    key = _fit_key(n, cfg, incremental, n_chains, track_off)
     if _FIT_CACHE.get(key) == [bc, vmem]:
         return
     _FIT_CACHE[key] = [bc, vmem]
@@ -2266,8 +2295,13 @@ def _get_runner(
 ):
     """Fetch/compile the per-shape jitted fused runner (see _RUNNER_CACHE)."""
     incremental = _resolve_incremental(incremental)
-    is_fixed = cfg.mode is not CostMode.PARITY
     packed = pack_scene(scene, cfg)
+    # FIXED off-limits state machinery is compiled in only when the scene
+    # weights the term (exact skip otherwise — see _fused_kernel). Static
+    # per scene: a different weight re-keys the runner cache; the VMEM
+    # model's extra FIXED tiles exist iff the state is tracked.
+    track_off = _scene_track_off(scene, cfg)
+    is_fixed = track_off
     n = packed.n
     n0 = scene.n_pad_objs
     # slab width for the incremental states (A/B; see _fused_kernel).
@@ -2284,7 +2318,9 @@ def _get_runner(
         bc = min(block_chains(n), n_chains)
     else:
         _load_fits()
-        proven = _FIT_CACHE.get(_fit_key(n, cfg, incremental, n_chains))
+        proven = _FIT_CACHE.get(
+            _fit_key(n, cfg, incremental, n_chains, track_off)
+        )
         if proven and vmem_override is None and "MH_FUSED_VMEM" not in os.environ:
             bc, vmem = int(proven[0]), int(proven[1])
         else:
@@ -2326,7 +2362,7 @@ def _get_runner(
         rng_hw = False
     cache_key = (
         n, n0, n_chains, bc, cfg.mode, incremental,
-        rng_hw, thin, slab_w,
+        rng_hw, thin, slab_w, track_off,
         cfg.n_moves_per_step, cfg.adapt, cfg.accept_draws, interpret,
         clr_unroll, packed.n_clr_real, packed.clr_anchors,
         packed.rel_src_oh.shape, packed.rel_params.shape,
@@ -2342,7 +2378,7 @@ def _get_runner(
             n=n, n0=n0, n_chains=n_chains, bc=bc,
             mode=cfg.mode, incremental=incremental,
             rng_hw=rng_hw,
-            thin=thin, slab_w=slab_w,
+            thin=thin, slab_w=slab_w, track_off=track_off,
             moves_per_step=cfg.n_moves_per_step, adapt=cfg.adapt,
             accept_draws=cfg.accept_draws,
             clr_unroll=clr_unroll, n_clr_real=packed.n_clr_real,

@@ -24,11 +24,11 @@ from mh_tpu.models.scene import demo_scene
 
 
 def _run(thin: str, mode: CostMode, n_objs=32, n_chains=8, iters=60,
-         **cfg_kw):
+         spec=None, **cfg_kw):
     prev = os.environ.get("MH_FUSED_THIN")
     os.environ["MH_FUSED_THIN"] = thin
     try:
-        spec = demo_scene(n_objs)
+        spec = spec if spec is not None else demo_scene(n_objs)
         scene = spec.build()
         cfg = SamplerConfig(mode=mode, **cfg_kw)
         pose, bd, acc, scale = fused_mh.run_chains_fused(
@@ -53,6 +53,46 @@ def test_thin_matches_wide_bitwise(mode):
     # breakdown terms tolerate reduction-order ulps (the final report's
     # thin partial sums ride a different tile orientation)
     np.testing.assert_allclose(b1, b0, rtol=1e-5, atol=1e-4)
+
+
+def test_thin_matches_wide_offlimits_weighted():
+    # a nonzero w_offlimits compiles the FIXED off-limits state machinery
+    # in (track_off) — the demo scene's weight is 0 (the reference leaves
+    # WeightOffLimits uninitialized), so without this spec the so-state
+    # paths would go untested
+    import dataclasses
+
+    from mh_tpu.ops.costs import cost_terms
+
+    spec = dataclasses.replace(demo_scene(32), w_offlimits=-1.5)
+    p1, b1, a1, _ = _run("1", CostMode.FIXED, spec=spec)
+    p0, b0, a0, _ = _run("0", CostMode.FIXED, spec=spec)
+    np.testing.assert_array_equal(a1, a0)
+    np.testing.assert_array_equal(p1, p0)
+    np.testing.assert_allclose(b1, b0, rtol=1e-5, atol=1e-4)
+    # the tracked off term must agree with the XLA objective on the
+    # final poses (total incl. weighted off-limits)
+    scene = spec.build()
+    for c in range(2):
+        ref = cost_terms(p1[c], scene, CostMode.FIXED)
+        np.testing.assert_allclose(
+            float(b1[c, 0]), float(ref.total), rtol=2e-4, atol=2e-3
+        )
+
+
+def test_fixed_zero_offweight_matches_tracked_totals():
+    # skipping the so machinery at w_offlimits == 0 must be EXACT: totals
+    # and trajectories equal a run that forces tracking via a tiny-weight
+    # scene... the cleanest oracle is the XLA objective on final poses
+    from mh_tpu.ops.costs import cost_terms
+
+    p, b, a, _ = _run("1", CostMode.FIXED)
+    scene = demo_scene(32).build()
+    for c in range(2):
+        ref = cost_terms(p[c], scene, CostMode.FIXED)
+        np.testing.assert_allclose(
+            float(b[c, 0]), float(ref.total), rtol=2e-4, atol=2e-3
+        )
 
 
 def test_thin_matches_wide_adapted():
