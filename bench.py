@@ -139,7 +139,11 @@ def _per_step_linfit(run, lengths, repeats: int = 6) -> float:
             mins[it] = min(mins[it], time.perf_counter() - t0)
     xs = np.array(lengths, float)
     ys = np.array([mins[it] for it in lengths])
-    return max(float(np.polyfit(xs, ys, 1)[0]), 1e-9)
+    # floor guards the downstream division against a <= 0 slope in a
+    # noise-dominated fit; it must sit far BELOW any real slope — the pi
+    # kernel's per-SAMPLE slope is ~8e-12 s (an earlier 1e-9 floor
+    # silently clamped it to a fake 1.0 Gsamples/s)
+    return max(float(np.polyfit(xs, ys, 1)[0]), 1e-15)
 
 
 def bench_oracle(n_objs: int = 100, iters: int = 200, repeats: int = 5) -> dict:
@@ -264,17 +268,30 @@ def bench_pi(n_samples: int = 1 << 24) -> dict:
 
 
 def bench_pi_fused(n_samples: int = 1 << 30) -> dict:
+    """Fused pi kernel throughput as a linearity-fit slope over sample
+    counts — the single-point wall-clock version swung 6x between rounds
+    on the tunnel's per-call dispatch noise (2.5 vs 15.5 Gsamples/s for
+    the same kernel); the slope cancels the fixed per-call overhead. One
+    executable serves all lengths (runtime draw count)."""
     from mh_tpu.kernels.pi_kernel import estimate_pi_fused  # noqa: PLC0415
 
-    est, total = estimate_pi_fused(0, n_samples)
-    est = float(est)
-
-    def run():
-        e, _ = estimate_pi_fused(0, n_samples)
+    def run(n):
+        e, _ = estimate_pi_fused(0, n)
         return float(e)
 
-    dt = _time_best(run)
-    return {"samples_per_s": total / dt, "pi_estimate": est, "wall_s": dt}
+    # fit lengths must rise ABOVE the dispatch noise: the kernel runs
+    # ~130 Gsamples/s (direct timing r5: 2^33 in 0.090 s, 2^34 in
+    # 0.156 s), so anything below ~2^32 is pure per-call jitter and the
+    # slope degenerates to the 1e-9 floor. 2^34 is also the per-block
+    # int32 hit-budget ceiling (grid * 2^31 total hits).
+    lengths = (1 << 32, 1 << 33, 1 << 34)
+    est = run(n_samples)
+    per_sample = _per_step_linfit(run, lengths, repeats=6)
+    return {
+        "samples_per_s": 1.0 / per_sample,
+        "pi_estimate": est,
+        "fit_lengths": list(lengths),
+    }
 
 
 def bench_collective(n_objs: int, n_chains: int) -> dict:
