@@ -38,6 +38,14 @@ Array = jax.Array
 _NEG_HUGE = -1e30
 
 
+def _static_zero(v) -> bool:
+    """True iff ``v`` is a trace-time constant equal to 0.0."""
+    try:
+        return abs(float(v)) == 0.0
+    except Exception:  # noqa: BLE001 — tracers refuse concretization
+        return False
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CostBreakdown:
@@ -276,9 +284,16 @@ def cost_terms(
         zero if "sym" in _XLA_SKIP
         else scene.w_symmetry * symmetry_costs(pose, scene, mode)
     )
-    if (skip_unused_offlimits and mode is CostMode.PARITY) or (
-        "off" in _XLA_SKIP
+    if (
+        (skip_unused_offlimits and mode is CostMode.PARITY)
+        or ("off" in _XLA_SKIP)
+        or (skip_unused_offlimits and _static_zero(scene.w_offlimits))
     ):
+        # Third case: FIXED mode with a PROVABLY zero off-limits weight
+        # (only decidable when the scene is a trace-time constant — the
+        # scene-specialized scan; traced scenes keep the term). The
+        # weighted term is identically 0, so skipping the O(N^2) matrix
+        # is exact — mirrors the fused kernel's track_off gating.
         off = zero
     else:
         off = scene.w_offlimits * off_limits_costs(pose, scene, mode)
