@@ -266,9 +266,11 @@ def auto_engine(
 # one object tile while the scans grow ~N^2: generic 0.062@64objs /
 # 0.076@80 / 0.116@100, specialized 0.038@64 / 0.089@100 — so fused now
 # wins vs the generic scan from ~84 objects (88 padded lanes) and vs the
-# scene-specialized scan from ~93 objects (96 lanes). PARITY numbers; in
-# FIXED the specialized scan narrowly holds 100 objs (0.1197 vs 0.1222) —
-# within tunnel noise, not worth a mode-dependent threshold.
+# scene-specialized scan from ~93 objects (96 lanes). PARITY numbers;
+# FIXED tracks them: with w_offlimits == 0 both engines statically skip
+# the off-limits machinery (fused 0.072 vs scan 0.086 on the demo), and
+# with a weighted term they tie at 100 objs (0.1222 vs 0.1197 — tunnel
+# noise) — one mode-agnostic threshold serves both.
 FUSED_CROSSOVER = 88
 SERVE_CROSSOVER = 96
 
