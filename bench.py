@@ -224,17 +224,18 @@ def bench_layout(n_objs: int, n_chains: int, iterations: int, n_moves: int = 1) 
     }
 
 
-def bench_fused(n_objs: int, n_chains: int, iterations: int = 2010) -> dict:
+def bench_fused(n_objs: int, n_chains: int, iterations: int = 2010,
+                mode: str = "") -> dict:
     """Fused Pallas MH kernel throughput, 3-length linearity fit."""
     import numpy as np
 
-    from mh_tpu.config import SamplerConfig  # noqa: PLC0415
+    from mh_tpu.config import CostMode, SamplerConfig  # noqa: PLC0415
     from mh_tpu.kernels.fused_mh import run_chains_fused  # noqa: PLC0415
     from mh_tpu.models.scene import demo_scene  # noqa: PLC0415
 
     spec = demo_scene(n_objs)
     scene = spec.build()
-    cfg = SamplerConfig()
+    cfg = SamplerConfig(mode=CostMode[mode]) if mode else SamplerConfig()
     pose0 = spec.initial_pose()
 
     def run(iters):
@@ -434,6 +435,11 @@ def _run_child(engine: str, args) -> None:
         out = bench_fused(args.objects, args.chains)
     elif engine == "fused_256":
         out = bench_fused(256, args.chains, iterations=1010)
+    elif engine == "fused_fixed":
+        # FIXED semantics on the demo scene (w_offlimits == 0 — the
+        # reference leaves it uninitialized, so this is the harness
+        # scene's FIXED cost; a weighted-off-limits scene runs ~1.5x)
+        out = bench_fused(args.objects, args.chains, mode="FIXED")
     elif engine == "pi":
         out = bench_pi()
     elif engine == "pi_fused":
@@ -619,6 +625,11 @@ def main() -> None:
         if f256:
             extras["fused_256obj_proposals_per_s"] = round(
                 f256["proposals_per_s"], 1
+            )
+        ffx = orch.run_engine("fused_fixed")
+        if ffx:
+            extras["fused_fixed_proposals_per_s"] = round(
+                ffx["proposals_per_s"], 1
             )
         pif = orch.run_engine("pi_fused", timeout_s=900)
         if pif:
