@@ -569,7 +569,8 @@ def _fused_kernel(
     # surface-area parity anchors (Kernel.cu:456 quirk): pose-independent
     # one-hot gather matrix, hoisted out of the per-iteration cost eval
     c_cnt_s = clr_p_ref.shape[0]
-    anc_oh = None if clr_unroll else (
+    # (thin mode gathers the anchors through the gather matrix instead)
+    anc_oh = None if (clr_unroll or thin) else (
         iota_n.reshape(1, n) == clr_p_ref[:, 7].reshape(c_cnt_s, 1)
     ).astype(jnp.float32)  # [C, N]
 
