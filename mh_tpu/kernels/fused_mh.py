@@ -22,6 +22,16 @@ not bitwise equal to the XLA path. The default stream is keyed by GLOBAL
 chain id (see ``_uniform_sw``), so fused results are reproducible across
 chain-block sizes, fit-cache states, and device counts; ``MH_FUSED_RNG=hw``
 selects the hardware per-block stream instead (bc-dependent, A/B knob).
+
+Thin-op engine (round 5, ``MH_FUSED_THIN=1`` default): the step's
+per-chain scalar chains (proposal Box-Muller/rank-pick, rel+angle
+penalties, clearance outside-areas) run with chains on the LANE axis
+([1,B]/[E,B] tiles — 1 vreg per op at B=128, vs 16 vregs for a [B,1]
+tile with one live lane) and move their few per-chain results back to
+column layout with exact identity-MXU dots (HIGHEST precision single
+1.0*v products). Bitwise-identical trajectories to the wide layout
+(tests/test_fused_thin.py); took the 100-object headline from the XLA
+scan (docs/PERFORMANCE.md "CURRENT NUMBERS").
 """
 
 from __future__ import annotations
@@ -589,7 +599,7 @@ def _fused_kernel(
         # thin-engine gather matrix: every section padded to its full
         # sublane-aligned entity count (R/A are ent_pad multiples of 8,
         # clearances ride the padded [Cp, N] one-hot + a padded parity
-        # anchor block), so the [M, 3B] transposed gather output can be
+        # anchor block), so the [M, bw] transposed gather outputs can be
         # row-sliced at aligned offsets. Padding rows gather garbage that
         # the per-entity masks zero out downstream.
         _gparts = [rel_s_h, rel_t_h, a_s_h, a_t_h, clr_s_ref[:, :]]
