@@ -49,19 +49,28 @@ def main() -> None:
         pose, _, _, _ = run_chains_fused(0, pose0, scene, cfg, n_chains, iters)
         np.asarray(pose)
 
-    for thin in ("1", "0"):
-        os.environ["MH_FUSED_THIN"] = thin
-        t0 = time.perf_counter()
-        fused_run(1)
-        compile_s = time.perf_counter() - t0
-        per = _per_step_linfit(fused_run, lengths)
-        print(json.dumps({
-            "engine": "fused", "thin": thin, "mode": mode.name,
-            "compile_s": round(compile_s, 1),
-            "per_step_ms": round(per * 1e3, 4),
-            "proposals_per_s": round(n_chains / per, 1),
-        }), flush=True)
-    os.environ.pop("MH_FUSED_THIN", None)
+    # restore the caller's MH_FUSED_THIN even on a mid-sweep failure
+    # (leaking a sweep knob into a caller multiplies runner compiles —
+    # advisor r4 finding class)
+    prev_thin = os.environ.get("MH_FUSED_THIN")
+    try:
+        for thin in ("1", "0"):
+            os.environ["MH_FUSED_THIN"] = thin
+            t0 = time.perf_counter()
+            fused_run(1)
+            compile_s = time.perf_counter() - t0
+            per = _per_step_linfit(fused_run, lengths)
+            print(json.dumps({
+                "engine": "fused", "thin": thin, "mode": mode.name,
+                "compile_s": round(compile_s, 1),
+                "per_step_ms": round(per * 1e3, 4),
+                "proposals_per_s": round(n_chains / per, 1),
+            }), flush=True)
+    finally:
+        if prev_thin is None:
+            os.environ.pop("MH_FUSED_THIN", None)
+        else:
+            os.environ["MH_FUSED_THIN"] = prev_thin
 
     runner = compile_chains(scene, SamplerConfig(
         iterations=2010, n_chains=n_chains, mode=mode))
