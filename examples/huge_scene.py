@@ -44,6 +44,20 @@ def main() -> None:
     from mh_tpu.models.scene import demo_scene
 
     n_dev = jax.device_count()
+    if n_dev % args.objs_devices:
+        # degrade gracefully on fewer devices (e.g. the single pinned TPU
+        # chip in this container) instead of crashing: shard over what
+        # exists — with 1 device that is an unsharded run of the same
+        # program, still a valid demonstration of the API
+        largest = 1
+        for k in range(1, n_dev + 1):
+            if n_dev % k == 0 and k <= args.objs_devices:
+                largest = k
+        print(f"requested --objs-devices {args.objs_devices} does not "
+              f"divide the {n_dev} visible devices; using {largest} "
+              f"(run under XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+              f"JAX_PLATFORMS=cpu for a real mesh)")
+        args.objs_devices = largest
     print(f"{n_dev} {jax.devices()[0].platform} devices; "
           f"{args.objects}-object scene, objective rows sharded over "
           f"{args.objs_devices} of them")
