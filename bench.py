@@ -239,7 +239,7 @@ def bench_fused(n_objs: int, n_chains: int, iterations: int = 2010,
     pose0 = spec.initial_pose()
 
     def run(iters):
-        pose, bd, acc, _ = run_chains_fused(0, pose0, scene, cfg, n_chains, iters)
+        pose, _, acc, _ = run_chains_fused(0, pose0, scene, cfg, n_chains, iters)
         np.asarray(pose)
         return acc
 

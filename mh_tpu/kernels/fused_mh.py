@@ -1005,7 +1005,6 @@ def _fused_kernel(
                 )
         else:
             # many clearances: [B, C] anchor gathers x one [B, C, N] tile
-            c_cnt = clr_s_ref.shape[0]
             cax = onehot_gather(x, clr_s_ref[:, :])  # [B, C] anchors
             cay = onehot_gather(y, clr_s_ref[:, :])
             cv0, ctl, cmn = cv0_h, ctl_h, cmn_h

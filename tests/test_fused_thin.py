@@ -86,7 +86,7 @@ def test_fixed_zero_offweight_matches_tracked_totals():
     # scene... the cleanest oracle is the XLA objective on final poses
     from mh_tpu.ops.costs import cost_terms
 
-    p, b, a, _ = _run("1", CostMode.FIXED)
+    p, b, _, _ = _run("1", CostMode.FIXED)
     scene = demo_scene(32).build()
     for c in range(2):
         ref = cost_terms(p[c], scene, CostMode.FIXED)
@@ -98,8 +98,8 @@ def test_fixed_zero_offweight_matches_tracked_totals():
 def test_thin_matches_wide_adapted():
     # adaptation exercises the t_row (column -> row) transpose of the
     # carried log-step-scale
-    p1, b1, a1, s1 = _run("1", CostMode.FIXED, adapt=True, adapt_rate=0.05)
-    p0, b0, a0, s0 = _run("0", CostMode.FIXED, adapt=True, adapt_rate=0.05)
+    p1, _, a1, s1 = _run("1", CostMode.FIXED, adapt=True, adapt_rate=0.05)
+    p0, _, a0, s0 = _run("0", CostMode.FIXED, adapt=True, adapt_rate=0.05)
     np.testing.assert_array_equal(a1, a0)
     np.testing.assert_array_equal(p1, p0)
     np.testing.assert_array_equal(s1, s0)
